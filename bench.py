@@ -1,0 +1,54 @@
+"""Benchmark harness: runs every registered engine query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line with per-query wall-clock seconds.
+
+Timing includes plan + execution (count() action) but not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_seattle_call_data_spark.plans.queries import REGISTRY
+from etl_seattle_call_data_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch overheads.
+    for name in ("events_by_type",):
+        REGISTRY[name].spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+from etl_seattle_call_data_spark.sources.registry import TABLES, load_table, load_tables  # noqa: F401
