@@ -1,0 +1,195 @@
+"""Deduplication operators for training-data pipelines (north-star
+extensions, SURVEY §7.2.8): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design
+------------
+* Exact dedup: hash-groupBy on a canonical fingerprint — one shuffle on
+  the fingerprint key; AQE handles skew (e.g. empty documents).
+* Jaccard / MinHash / SimHash candidate generation NEVER cross-joins the
+  corpus: candidates come from equi-joins on shared shingles, LSH band
+  buckets, or SimHash bands — all shuffle-on-key joins that scale
+  linearly with (near-)duplicate density, not quadratically with corpus
+  size.
+* SimHash banding is exact by pigeonhole: with 60 bits in 4 disjoint
+  15-bit bands, any pair at Hamming distance ≤ 3 matches at least one
+  band — no recall loss for the supported threshold.
+* All hashing is md5-hex based (not xxhash) so results are reproducible
+  across engines — required by the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_seattle_call_data_spark.operators.text import canonical_text, tokens
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit integer
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups on the canonical-text fingerprint: one row
+    per distinct content with the representative (min id) and copy count."""
+    return (
+        df.select(F.col(id_col), F.md5(canonical_text(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("representative_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = tokens(F.col(text_col)).alias("__t")
+    base = df.select(F.col(id_col), toks)
+    grams = F.when(
+        F.size(F.col("__t")) >= n,
+        F.expr(f"transform(sequence(0, size(__t) - {n}), i -> array_join(slice(__t, i + 1, {n}), ' '))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via a shared-shingle
+    equi-join (no cross join): |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 8, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: for each seed s, the lexicographic
+    min of md5('s:' || shingle) — identical hex across engines, so the
+    signature is engine-independent."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash LSH near-duplicate pairs: band the signature, bucket-join
+    on (band index, band value) for candidates, then verify with exact
+    Jaccard ≥ threshold (no false positives; recall set by the banding)."""
+    assert num_hashes % rows_per_band == 0
+    num_bands = num_hashes // rows_per_band
+    sig = minhash_signatures(df, num_hashes, id_col, text_col, n)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.md5(
+                    F.concat(*[F.col(f"h{i * rows_per_band + r}") for r in range(rows_per_band)])
+                ).alias("band_val"),
+            )
+            for i in range(num_bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
+    candidates = (
+        a.join(b, ["band_idx", "band_val"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    verified = jaccard_pairs(df, threshold, id_col, text_col, n)
+    return candidates.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def _token_hash60(c):
+    """First 15 md5 hex chars as a 60-bit integer — cross-engine stable."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document over unigram tokens (with multiplicity):
+    bit j is 1 iff the sum over tokens of ±1 (sign of the token hash's
+    bit j) is positive. One explode + one grouped aggregation — no
+    quadratic work."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = _token_hash60(F.col("tok"))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    value = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        value = term if value is None else value + term
+    return bit_sums.select(F.col(id_col), value.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming(simhash) ≤ max_hamming, found via
+    4-band blocking (15 bits each). Pigeonhole: ≤3 differing bits cannot
+    straddle all 4 bands, so recall is exact for max_hamming ≤ 3."""
+    assert max_hamming <= 3, "4-band blocking is only exact for hamming <= 3"
+    sig = simhash(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("simhash"), i * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
+        id_col, "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

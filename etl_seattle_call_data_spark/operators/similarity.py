@@ -1,0 +1,168 @@
+"""Embedding similarity-search operators (north-star extensions).
+
+Cross-engine exactness strategy: embeddings are quantized to integers
+(round(x·1000)), so dot products and squared norms are exact integer
+sums — immune to float summation order — and the final cosine is one
+IEEE divide/sqrt on exactly-representable inputs, bit-identical in Spark
+and DuckDB. (64-dim, |q|≤~1000 ⇒ dot ≤ ~6.4e7, na²·nb² ≤ ~2^49 < 2^53.)
+
+Scale design: the brute-force top-k broadcasts the (small) query set and
+streams the corpus — one map + one per-query top-k aggregation, no
+shuffle of the corpus. The LSH path buckets by sign-random-hyperplane
+bits so candidate generation is an equi-join on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT_SCALE = 1000
+
+
+def quantize(vec_col, scale: int = QUANT_SCALE):
+    """array<float> → array<long> by round(double(x)·scale)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _norm2(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    q = quantize(vec_col)
+    return df.withColumn("qvec", q).withColumn("qnorm2", _norm2(F.col("qvec")))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs with cosine ≥ threshold, blocked by
+    ``block_col`` (e.g. a cluster/label/LSH bucket) so the join is an
+    equi-join, not a corpus cross-join."""
+    q = with_quantized(df, vec_col)
+    cols = [F.col(id_col), F.col("qvec"), F.col("qnorm2")] + (
+        [F.col(block_col)] if block_col else []
+    )
+    q = q.select(*cols)
+    on = [block_col] if block_col else []
+    a = q.select(*([F.col(c) for c in on] + [F.col(id_col).alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na")]))
+    b = q.select(*([F.col(c) for c in on] + [F.col(id_col).alias("id_b"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb")]))
+    joined = (a.join(b, on) if on else a.crossJoin(b)).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        (F.col("na") * F.col("nb")).cast("double")
+    )
+    return joined.select("id_a", "id_b", cos.alias("cosine")).filter(F.col("cosine") >= threshold)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the
+    corpus, window top-k per query with a deterministic (cosine desc, id)
+    tie-break. The baseline/exact path; see ``lsh_topk`` for the ANN path."""
+    c = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("vc"), F.col("qnorm2").alias("nc")
+    )
+    qs = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("vq"), F.col("qnorm2").alias("nq")
+    )
+    cos = _dot(F.col("vq"), F.col("vc")).cast("double") / F.sqrt(
+        (F.col("nq") * F.col("nc")).cast("double")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_bucket(vec_col, num_planes: int = 12, scale: int = QUANT_SCALE):
+    """Sign-random-projection bucket id from deterministic md5-derived
+    hyperplanes: plane p, dim j weight = (top 30 bits of the 60-bit md5
+    int of 'p:j') − 2^29, zero-centered. 30-bit weights keep the
+    projection sum far inside int64 (|x|≤~10^3·2^29·dims ≈ 2^55 for
+    dims ≤ 64). Engine-independent and reproducible."""
+    q = quantize(vec_col, scale)
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                q,
+                F.sequence(F.lit(0), F.size(q) - 1),
+                lambda x, j: x
+                * (
+                    F.shiftright(
+                        F.conv(
+                            F.substring(F.md5(F.concat(F.lit(f"{p}:"), j.cast("string"))), 1, 15),
+                            16,
+                            10,
+                        ).cast("long"),
+                        30,
+                    )
+                    - F.lit(2**29).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: bucket corpus and queries by sign-LSH, equi-join on the
+    bucket, exact re-rank inside. Approximate (single probe); the scale
+    path when the corpus no longer fits a broadcast cross-join."""
+    c = with_quantized(corpus, vec_col).withColumn("bucket", lsh_bucket(vec_col, num_planes))
+    qs = with_quantized(queries, vec_col).withColumn("bucket", lsh_bucket(vec_col, num_planes))
+    cc = c.select("bucket", F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("vc"), F.col("qnorm2").alias("nc"))
+    qq = qs.select("bucket", F.col(id_col).alias("query_id"), F.col("qvec").alias("vq"), F.col("qnorm2").alias("nq"))
+    cos = _dot(F.col("vq"), F.col("vc")).cast("double") / F.sqrt(
+        (F.col("nq") * F.col("nc")).cast("double")
+    )
+    scored = (
+        cc.join(qq, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

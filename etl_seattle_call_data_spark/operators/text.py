@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines.
+
+North-star extensions beyond the reference's operator set (SURVEY §7.2.8):
+language-ID (stopword/charset heuristic), quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions — no Python UDFs —
+so they stay inside whole-stage codegen and scale linearly with executors
+(per-row map work, no shuffle).
+
+Determinism note: every float here is produced by IEEE double ops on
+exactly-representable integer inputs, so results are bit-identical across
+engines — required for the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the heuristic language-ID.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "les", "une"),
+    "es": ("el", "los", "y", "que", "una"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+# deterministic tie-break order when hit counts are equal
+LANG_PRIORITY = ("en", "fr", "es", "de")
+
+CJK_PATTERN = "[\\u4e00-\\u9fff]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empties removed (consistent with DuckDB's
+    list_filter(string_split(text,' '), x -> x <> ''))."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: word chunks + digits + punctuation each
+    count separately (a cheap whitespace-independent proxy for BPE).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), F.lit(0)))
+
+
+def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens(text), lambda x: x.isin(*words)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + composite score.
+
+    score = 0.4·min(1, n_tokens/100) + 0.3·(1 − punct_ratio)
+          + 0.3·min(1, 4·stopword_ratio) — favors long, clean prose with a
+    natural function-word rate.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0)))
+    n_stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(4.0) * stop_ratio)
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK charset short-circuit, else argmax of
+    per-language stopword hits with a deterministic priority tie-break."""
+    t = F.col(text_col)
+    hits = {lang: stopword_hits(t, words) for lang, words in LANG_STOPWORDS.items()}
+    all_hits = list(hits.values())
+    best = F.greatest(*all_hits)
+    pred = F.when(F.regexp_count(t, F.lit(CJK_PATTERN)) > 0, F.lit("zh"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when((hits[lang] == best) & (hits[lang] > 0), F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def canonical_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the canonical text (stable across
+    whitespace/case variance) — the exact-dedup key."""
+    return df.select(
+        "doc_id", F.md5(canonical_text(F.col(text_col))).alias("fingerprint")
+    )

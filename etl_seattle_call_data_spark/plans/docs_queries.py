@@ -1,0 +1,327 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis)
+over the ``documents`` and ``embeddings`` tables — the north-star
+extension surface, each oracle-paired where SQL-expressible.
+
+Oracle-parity strategy (see operators/dedup.py, operators/similarity.py):
+md5-hex hashing and integer-quantized embedding math, so every value the
+Spark plan produces is bit-identical to the DuckDB oracle's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_seattle_call_data_spark.operators import dedup, multimodal, similarity, text
+from etl_seattle_call_data_spark.plans.queries import register
+from etl_seattle_call_data_spark.sources.registry import load_table
+
+# DuckDB fragments mirroring operators/text.py primitives
+_DUCK_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_DUCK_SHINGLES = f"""
+    SELECT DISTINCT doc_id, unnest(
+      CASE WHEN len(tk) >= 3
+        THEN list_transform(range(0, len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+        ELSE [] END) AS shingle
+    FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents)
+"""
+_DUCK_JACCARD = f"""
+  sh AS ({_DUCK_SHINGLES}),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  verified AS (
+    SELECT id_a, id_b, CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  )
+"""
+
+
+@register(
+    "doc_token_stats",
+    "Token counting: whitespace tokens + BPE-ish regex chunks + chars per "
+    "document (text-analysis north-star; SURVEY §7.2.8).",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_DUCK_TOKENS}) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    "Document quality scoring: length/punctuation/stopword-ratio features "
+    "+ composite score (deterministic double arithmetic).",
+    f"""
+    SELECT doc_id, n_chars, n_tokens, n_punct,
+           CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+           0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+             + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+             + 0.3 * least(1.0, 4.0 * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)))
+             AS quality_score
+    FROM (
+      SELECT doc_id, length(text) AS n_chars,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+             len(list_filter({_DUCK_TOKENS}, x -> x IN ('the','a','of','and','is'))) AS n_stop
+      FROM documents
+    )
+    """,
+)
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_features(docs)
+
+
+@register(
+    "doc_language_id",
+    "Heuristic language-ID (stopword hits + CJK charset, deterministic "
+    "tie-break), aggregated to predicted-language counts.",
+    f"""
+    WITH hits AS (
+      SELECT doc_id,
+             len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS c_en,
+             len(list_filter(tk, x -> x IN ('le','la','et','les','une'))) AS c_fr,
+             len(list_filter(tk, x -> x IN ('el','los','y','que','una'))) AS c_es,
+             len(list_filter(tk, x -> x IN ('der','die','und','das','ein'))) AS c_de,
+             len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS c_cjk
+      FROM (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents)
+    )
+    SELECT pred_lang, count(*) AS n_docs FROM (
+      SELECT CASE
+        WHEN c_cjk > 0 THEN 'zh'
+        WHEN c_en = greatest(c_en, c_fr, c_es, c_de) AND c_en > 0 THEN 'en'
+        WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) AND c_fr > 0 THEN 'fr'
+        WHEN c_es = greatest(c_en, c_fr, c_es, c_de) AND c_es > 0 THEN 'es'
+        WHEN c_de = greatest(c_en, c_fr, c_es, c_de) AND c_de > 0 THEN 'de'
+        ELSE 'unknown' END AS pred_lang
+      FROM hits
+    ) GROUP BY pred_lang
+    """,
+)
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs).groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "dedup_exact",
+    "Exact dedup groups on the canonical-text md5 fingerprint: hash-groupBy "
+    "— one shuffle on the fingerprint key, linear at any corpus size.",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           min(doc_id) AS representative_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shared-shingle "
+    "equi-join — candidate generation scales with duplicate density, never "
+    "cross-joins the corpus.",
+    f"""
+    WITH {_DUCK_JACCARD}
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, threshold=0.5)
+
+
+def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(num_hashes)
+    )
+    bands = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {i} AS band_idx, md5(h{i * rows_per_band} || h{i * rows_per_band + 1}) AS band_val FROM sig"
+        for i in range(num_hashes // rows_per_band)
+    )
+    return f"""
+    WITH {_DUCK_JACCARD},
+    sig AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, v.jaccard
+    FROM cand c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    WHERE v.jaccard >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    "MinHash(8)+LSH(4 bands) near-dup pairs, verified with exact Jaccard "
+    "≥ 0.5 — shingle→minhash→band→bucket-join, the 100TB-scale dedup path.",
+    _minhash_oracle(),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _simhash_cte() -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
+    bitsums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {value} AS simhash FROM bitsums)
+    """
+
+
+@register(
+    "doc_simhash",
+    "60-bit SimHash signature per document (md5-derived token hashes, "
+    "cross-engine exact) — one explode + one grouped agg.",
+    f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sig",
+)
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+@register(
+    "dedup_simhash_pairs",
+    "SimHash near-dup pairs (Hamming ≤ 3) via 4×15-bit band blocking — "
+    "pigeonhole-exact recall, equi-join candidate generation.",
+    f"""
+    WITH {_simhash_cte()},
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band_idx, (simhash >> 0) & 32767 AS band_val FROM sig
+      UNION ALL SELECT doc_id, simhash, 1, (simhash >> 15) & 32767 FROM sig
+      UNION ALL SELECT doc_id, simhash, 2, (simhash >> 30) & 32767 FROM sig
+      UNION ALL SELECT doc_id, simhash, 3, (simhash >> 45) & 32767 FROM sig
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+_DUCK_QVEC = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_DUCK_Q = f"""
+    SELECT vec_id, label, {_DUCK_QVEC} AS qv,
+           CAST(list_sum(list_transform({_DUCK_QVEC}, x -> x * x)) AS BIGINT) AS n2
+    FROM embeddings
+"""
+_DUCK_COS = (
+    "CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)"
+    " / sqrt(CAST(a.n2 * b.n2 AS DOUBLE))"
+)
+
+
+@register(
+    "embedding_cosine_pairs",
+    "Embedding near-dup pairs: cosine ≥ 0.3 within label blocks — "
+    "integer-quantized exact math, equi-join on the block key.",
+    f"""
+    WITH w AS ({_DUCK_Q})
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cosine
+      FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.3, block_col="label")
+
+
+@register(
+    "similarity_topk_bruteforce",
+    "Brute-force cosine top-5 for query vectors (vec_id < 10): broadcast "
+    "queries × streamed corpus, windowed top-k with deterministic "
+    "tie-break — the exact ANN baseline.",
+    f"""
+    WITH w AS ({_DUCK_Q})
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_DUCK_COS} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {_DUCK_COS} DESC, a.vec_id) AS rank
+      FROM w a JOIN w b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "similarity_topk_lsh",
+    "ANN top-5 via sign-random-projection LSH buckets (md5-derived "
+    "deterministic hyperplanes) + exact in-bucket re-rank — the scale path "
+    "when the corpus outgrows a broadcast. Approximate: no SQL oracle; "
+    "driver does the rows-only check.",
+    None,
+)
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5, num_planes=8)
+
+
+@register(
+    "multimodal_features",
+    "Multimodal plumbing: binary payload + typed metadata columns through "
+    "an Arrow-batched mapInPandas feature extractor (decode step stubbed "
+    "deterministically — no media libs in this env). Python-side batch op: "
+    "no SQL oracle; driver does the rows-only check.",
+    None,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.extract_features(media)

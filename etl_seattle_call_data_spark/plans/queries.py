@@ -468,3 +468,8 @@ def q_set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     fin_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return open_c.subtract(fin_c)  # subtract == SQL EXCEPT (set semantics)
+
+
+# Register the training-data extension queries (documents/embeddings).
+# Import at the bottom: docs_queries imports `register` from this module.
+from etl_seattle_call_data_spark.plans import docs_queries  # noqa: E402,F401

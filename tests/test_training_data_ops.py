@@ -1,0 +1,105 @@
+"""Semantic unit tests for the training-data operators (dedup /
+similarity / text / multimodal) on constructed inputs where the right
+answer is known by hand — complements the oracle-parity tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_seattle_call_data_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the  quick brown fox  jumps over the lazy dog"),  # whitespace variant of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (4, "completely different content about spark engines"),
+        (5, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r.representative_id: r.n_copies for r in dedup.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1 and 2 collapse (canonicalized)
+    assert groups[3] == 1 and groups[4] == 1 and groups[5] == 1
+
+
+def test_jaccard_pairs_semantics(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical token sequence → identical shingles
+    assert (1, 3) in pairs  # single-word change in a 9-word doc
+    assert all(a < b for a, b in pairs)
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_identical_for_same_tokens(docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sig[1] == sig[2]  # same token multiset
+    assert sig[1] != sig[4]
+    assert 5 not in sig  # empty doc has no tokens → no signature row
+
+
+def test_simhash_pairs_hamming_zero(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),  # closest to 0
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [-1.0, 0.0, 0.0], 0),  # opposite of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    topk = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    order = [r.neighbor_id for r in sorted(topk, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in topk)
+
+
+def test_lsh_topk_subset_of_bruteforce_schema(spark):
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)], i % 2) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    res = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, num_planes=4)
+    out = res.collect()
+    assert res.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert all(r.rank <= 3 for r in out)
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.documents_as_media(docs)
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    feats = multimodal.extract_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 5
+    assert rows[5].n_bytes == 0 and len(rows[5].feature) == 8
+    assert rows[1].n_bytes == len("the quick brown fox jumps over the lazy dog")
+    # deterministic: same payload → same checksum/features
+    again = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert again[1].byte_checksum == rows[1].byte_checksum
+
+
+def test_multimodal_strict_mode_raises(docs):
+    media = multimodal.documents_as_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_features(media, strict=True).collect()
+
+
+def test_quality_and_langid_edges(spark):
+    rows = [(1, "the of and is a plain english sentence"), (2, "xyzzy plugh"), (3, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = {r.doc_id: r for r in text.quality_features(docs).collect()}
+    assert q[3].n_tokens == 0 and q[3].quality_score is not None
+    langs = {r.doc_id: r.pred_lang for r in text.language_id(docs).collect()}
+    assert langs[1] == "en" and langs[2] == "unknown" and langs[3] == "unknown"
