@@ -470,6 +470,75 @@ def q_set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return open_c.subtract(fin_c)  # subtract == SQL EXCEPT (set semantics)
 
 
+@register(
+    "tumbling_window_counts",
+    "Tumbling 10-minute event-time window aggregation — the batch form of "
+    "the engine's watermarked streaming aggregation (T6; the streaming "
+    "variant is tested in tests/test_streaming.py).",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "sessionization",
+    "Sessionization via lag + gap cumsum (30-minute inactivity): per-user "
+    "session ids and per-session stats — the window-function composition "
+    "pattern for event streams.",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             -- truncate to whole seconds exactly like Spark's cast(ts AS long)
+             CASE WHEN floor(epoch(ts))
+                       - floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                       > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_s"),
+    )
+
+
 # Register the training-data extension queries (documents/embeddings).
 # Import at the bottom: docs_queries imports `register` from this module.
 from etl_seattle_call_data_spark.plans import docs_queries  # noqa: E402,F401

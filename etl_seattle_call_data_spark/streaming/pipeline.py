@@ -1,0 +1,119 @@
+"""Structured Streaming pipeline wiring.
+
+Differences from the reference consumer
+(/root/reference/Real_Time_Streaming/consumer/consumer_cassandra.py:228-275),
+per SURVEY §2.7/§4:
+
+* checkpointLocation is REQUIRED (the reference configures none, so a
+  restart loses offsets — T4);
+* no per-epoch ``count()``/``show()`` in the hot path;
+* watermarked event-time window aggregation is provided (T6 — absent in
+  the reference, implied by its serving queries);
+* sources are pluggable: file source for tests, Kafka in production
+  (same downstream plan; ``readStream.format("kafka")`` + the
+  ``decode_json_payload`` transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_seattle_call_data_spark.streaming.sinks import KeyedUpsertSink
+from etl_seattle_call_data_spark.streaming.transforms import (
+    clean_duration_fields,
+    with_ingest_timestamp,
+)
+
+
+def file_json_stream(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based JSON stream — the test/dev stand-in for the Kafka source
+    (one JSON file ≈ one micro-batch of producer messages)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def kafka_stream(spark: SparkSession, bootstrap: str, topic: str, starting_offsets: str = "latest") -> DataFrame:
+    """Kafka source (reference consumer_cassandra.py:247-252). Requires the
+    spark-sql-kafka package on the classpath; unused in tests (no broker in
+    this environment)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def run_upsert_stream(
+    source: DataFrame,
+    sink: KeyedUpsertSink,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Stream → duration cleaning → ingest stamp → keyed upsert sink
+    (the reference's foreach_batch_function pipeline, T2/T5, with
+    checkpointing)."""
+    cleaned = with_ingest_timestamp(clean_duration_fields(source))
+    writer = (
+        cleaned.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink.foreach_batch())
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "10 minutes",
+    slide_duration: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregation (T6): the
+    streaming form of the serving query 'counts by type' (A3)."""
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    events: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "windowed_counts",
+    **window_kwargs,
+) -> StreamingQuery:
+    """Windowed aggregation to an in-memory sink (tests/serving preview).
+    Append mode: rows emit once the watermark passes the window end."""
+    agg = windowed_counts(events, **window_kwargs)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
