@@ -28,12 +28,18 @@ def main() -> None:
     for name in ("events_by_type",):
         REGISTRY[name].spark(spark, sf_dir).count()
 
+    # best-of-2 per query: single-shot wall clock on a shared box is noisy
+    # (JIT, page cache, GC); the min is the steady-state cost of the plan
     timings: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
-        t0 = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

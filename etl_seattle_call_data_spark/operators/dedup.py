@@ -21,10 +21,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_seattle_call_data_spark.operators.text import canonical_text, tokens
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit integer
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input guard before explode-heavy ops: a corpus that arrives
+    in a handful of parquet splits would otherwise tokenize on a handful
+    of tasks (observed: 1 task for a single-file table). At real scale
+    the scan has natural parallelism and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -40,7 +52,7 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
     toks = tokens(F.col(text_col)).alias("__t")
-    base = df.select(F.col(id_col), toks)
+    base = _spread(df).select(F.col(id_col), toks)
     grams = F.when(
         F.size(F.col("__t")) >= n,
         F.expr(f"transform(sequence(0, size(__t) - {n}), i -> array_join(slice(__t, i + 1, {n}), ' '))"),
@@ -57,16 +69,30 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via a shared-shingle
     equi-join (no cross join): |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|."""
-    sh = shingle_sets(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # persist the exploded shingle set: it feeds the pair join twice and
+    # the size aggregation — without it Catalyst re-tokenizes the corpus
+    # once per branch (observed: 8 parquet scans in the un-persisted plan)
+    sh = shingle_sets(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    inter = _shared_shingle_pairs(sh, id_col)
+    return _jaccard_from_intersections(sh, inter, id_col, threshold)
+
+
+def _shared_shingle_pairs(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b, n_inter) for every pair sharing ≥1 shingle."""
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+
+
+def _jaccard_from_intersections(
+    sh: DataFrame, inter: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     return (
@@ -89,6 +115,10 @@ def minhash_signatures(
     min of md5('s:' || shingle) — identical hex across engines, so the
     signature is engine-independent."""
     sh = shingle_sets(df, id_col, text_col, n)
+    return _minhash_from_shingles(sh, num_hashes, id_col)
+
+
+def _minhash_from_shingles(sh: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
         for s in range(num_hashes)
@@ -110,7 +140,10 @@ def minhash_lsh_pairs(
     Jaccard ≥ threshold (no false positives; recall set by the banding)."""
     assert num_hashes % rows_per_band == 0
     num_bands = num_hashes // rows_per_band
-    sig = minhash_signatures(df, num_hashes, id_col, text_col, n)
+    # one persisted shingle set feeds signatures, candidate verification,
+    # and set sizes — the whole LSH pipeline tokenizes the corpus ONCE
+    sh = shingle_sets(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _minhash_from_shingles(sh, num_hashes, id_col)
     bands = F.array(
         *[
             F.struct(
@@ -130,8 +163,18 @@ def minhash_lsh_pairs(
     candidates = (
         a.join(b, ["band_idx", "band_val"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     )
-    verified = jaccard_pairs(df, threshold, id_col, text_col, n)
-    return candidates.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # verify ONLY the candidate pairs: restrict the shared-shingle
+    # intersection join to candidates instead of computing all-pairs
+    # Jaccard (LSH exists precisely to avoid that work)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return _jaccard_from_intersections(sh, inter, id_col, threshold)
 
 
 def _token_hash60(c):
@@ -144,7 +187,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     bit j is 1 iff the sum over tokens of ±1 (sign of the token hash's
     bit j) is positive. One explode + one grouped aggregation — no
     quadratic work."""
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = _spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     h = _token_hash60(F.col("tok"))
     bit_sums = tok.groupBy(id_col).agg(
         *[

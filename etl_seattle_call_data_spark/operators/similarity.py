@@ -101,32 +101,38 @@ def cosine_topk(
     )
 
 
-def lsh_bucket(vec_col, num_planes: int = 12, scale: int = QUANT_SCALE):
-    """Sign-random-projection bucket id from deterministic md5-derived
-    hyperplanes: plane p, dim j weight = (top 30 bits of the 60-bit md5
-    int of 'p:j') − 2^29, zero-centered. 30-bit weights keep the
-    projection sum far inside int64 (|x|≤~10^3·2^29·dims ≈ 2^55 for
+def _hyperplane_weights(num_planes: int, dims: int) -> list[list[int]]:
+    """Deterministic md5-derived hyperplanes: plane p, dim j weight =
+    (top 30 bits of the 60-bit md5 int of 'p:j') − 2^29, zero-centered.
+    Computed driver-side (hashlib md5 == Spark md5 on the same string):
+    the weights are data-independent constants, so hashing them per ROW
+    inside the plan would be pure waste (512 md5 calls/row at 8×64)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:15], 16) >> 30) - 2**29
+            for j in range(dims)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket(vec_col, num_planes: int = 12, dims: int = 64, scale: int = QUANT_SCALE):
+    """Sign-random-projection bucket id. 30-bit weights keep the
+    projection sum far inside int64 (|x| ≤ ~10^3·2^29·dims ≈ 2^55 for
     dims ≤ 64). Engine-independent and reproducible."""
     q = quantize(vec_col, scale)
+    weights = _hyperplane_weights(num_planes, dims)
     bits = []
     for p in range(num_planes):
+        # one array Literal node (not 64 child literals): keeps the plan
+        # small and codegen fast across 8 planes
+        plane = F.lit(weights[p]).cast("array<long>")
+        # coalesce: zip_with null-pads when the vector is shorter than the
+        # plane (dims default), padded entries must contribute 0
         proj = F.aggregate(
-            F.zip_with(
-                q,
-                F.sequence(F.lit(0), F.size(q) - 1),
-                lambda x, j: x
-                * (
-                    F.shiftright(
-                        F.conv(
-                            F.substring(F.md5(F.concat(F.lit(f"{p}:"), j.cast("string"))), 1, 15),
-                            16,
-                            10,
-                        ).cast("long"),
-                        30,
-                    )
-                    - F.lit(2**29).cast("long")
-                ),
-            ),
+            F.zip_with(q, plane, lambda x, w: F.coalesce(x, F.lit(0).cast("long")) * w),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )

@@ -513,9 +513,11 @@ def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id, event_id, ts, value,
-             SUM(new_session) OVER (
+             -- CAST: DuckDB SUM(int) yields HUGEINT, which pandas widens to
+             -- float64; Spark's sum is BIGINT — match dtypes exactly
+             CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       FROM gaps
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,
