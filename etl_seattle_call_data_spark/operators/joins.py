@@ -1,0 +1,139 @@
+"""Temporal join operators the reference lacks but a call/event analytics
+engine needs: as-of join and bounded range join.
+
+The reference's only join is a left-anti equi-join
+(/root/reference/ETL_Pipeline_Batch/transform.py:138-143); its star schema
+implies plain equi-joins (README.md:66-82). These operators extend that
+surface to event-time correlation — "latest state at-or-before t" and
+"events within a time window of t" — with 100 TB-safe plans:
+
+* ``asof_join`` is the union+window formulation: ONE shuffle on the key
+  (no inequality join, no per-row probe). Both inputs are tagged and
+  unioned, then a running ``last(right_payload, ignorenulls=True)`` over
+  (key, time) carries the most recent right row forward onto each left
+  row. Wall cost = one shuffle + one sort, independent of time-window
+  density, and AQE handles skewed keys.
+* ``range_join_count`` buckets time into fixed windows so the candidate
+  join is an equi-join on (key, bucket) — each left row explodes to the
+  few buckets its window overlaps, the exact predicate filters inside
+  the bucket. This is the standard interval-bucketing rewrite; the
+  alternative (theta join on the inequality) is a broadcast nested loop
+  that dies at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MICROS = 1_000_000
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    tie_col: str,
+    right_payload: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    largest ``right_ts <= left_ts`` (ties on right_ts broken by the
+    largest ``tie_col``) sharing the ``on`` keys. Left-outer semantics:
+    unmatched left rows keep null payload columns.
+
+    Output = all left columns + ``prefix + c`` for c in right_payload.
+    """
+    payload = F.struct(*[F.col(c) for c in right_payload]).alias("__r")
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        # left rows sort after right rows at equal ts (inclusive backward
+        # match) regardless of tie value
+        F.lit(None).cast("long").alias("__tie"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload) + ">"
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.col(tie_col).cast("long").alias("__tie"),
+        payload,
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tie").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_payload
+    ]
+    return matched.filter(F.col("__is_left") == 1).select(*out_cols)
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_offset_s: int,
+    upper_offset_s: int,
+    left_id: str,
+    count_alias: str = "n_matches",
+) -> DataFrame:
+    """Count right rows with ``left_ts + lower <= right_ts < left_ts +
+    upper`` per left row (equi on ``on``), via time-bucket equi-join.
+
+    Bucket width = window span, so each left row overlaps ≤ 2 buckets —
+    the explode fan-out is constant, the join is an equi-join on
+    (keys, bucket), and zero-match left rows survive (left join), all of
+    which hold at any scale.
+    """
+    span_us = (upper_offset_s - lower_offset_s) * MICROS
+    lo_us, hi_us = lower_offset_s * MICROS, upper_offset_s * MICROS
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+
+    # integral DIV: double division near 1e15 µs epochs can land a
+    # boundary value in the wrong bucket
+    l_b = (
+        left.withColumn("__l_us", l_us)
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"(__l_us + {lo_us}) DIV {span_us}"),
+                        F.expr(f"(__l_us + {hi_us} - 1) DIV {span_us}"),
+                    )
+                )
+            ),
+        )
+    )
+    r_b = right.select(
+        *[F.col(c) for c in on],
+        r_us.alias("__r_us"),
+    ).withColumn("__bucket", F.expr(f"__r_us DIV {span_us}"))
+    matched = (
+        l_b.join(r_b, on + ["__bucket"])
+        .filter(
+            (F.col("__r_us") >= F.col("__l_us") + F.lit(lo_us))
+            & (F.col("__r_us") < F.col("__l_us") + F.lit(hi_us))
+        )
+        .groupBy(left_id)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+    return (
+        left.join(matched, left_id, "left")
+        .withColumn(count_alias, F.coalesce(F.col(count_alias), F.lit(0)))
+    )

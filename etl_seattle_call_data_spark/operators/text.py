@@ -108,3 +108,30 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id", F.md5(canonical_text(F.col(text_col))).alias("fingerprint")
     )
+
+
+# Rabin-Karp rolling-hash parameters: M prime-ish modulus < 2^31 keeps
+# acc·B + t < 2^31·2^20 + 2^31 < 2^52, exact in int64 on every engine.
+ROLLHASH_BASE = 1_000_003
+ROLLHASH_MOD = 2_147_483_647
+
+
+def _token_hash_mod(tok: Column) -> Column:
+    """Per-token 60-bit md5 integer reduced mod M — identical hex → int
+    path as operators/dedup.py, so cross-engine exact."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % ROLLHASH_MOD
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Polynomial (Rabin-Karp) rolling hash over the token stream:
+    h = Σ t_i · B^(n−1−i) mod M, folded left-to-right as
+    h = (h·B + t_i) mod M. Order-sensitive (unlike the md5 bag-of-bytes
+    fingerprint) and incremental — the standard document-fingerprinting
+    primitive for shift-tolerant chunk matching. Pure per-row map work:
+    no shuffle, scales linearly."""
+    h = F.aggregate(
+        F.transform(tokens(F.col(text_col)), _token_hash_mod),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLLHASH_BASE + t) % ROLLHASH_MOD,
+    )
+    return df.select(F.col(id_col), h.alias("roll_hash"))

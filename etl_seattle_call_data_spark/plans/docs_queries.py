@@ -299,18 +299,63 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+def _lsh_bucket_sql(num_planes: int = 8, dims: int = 64) -> str:
+    """DuckDB expression for the sign-random-projection bucket id —
+    the same driver-side md5 hyperplane weights the Spark plan embeds
+    (operators/similarity.py), as literal BIGINT lists."""
+    weights = similarity._hyperplane_weights(num_planes, dims)
+    terms = []
+    for p in range(num_planes):
+        wlist = "[" + ", ".join(str(w) for w in weights[p]) + "]::BIGINT[]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), "
+            f"i -> qv[i] * ({wlist})[i])) > 0 THEN {2**p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 @register(
     "similarity_topk_lsh",
     "ANN top-5 via sign-random-projection LSH buckets (md5-derived "
     "deterministic hyperplanes) + exact in-bucket re-rank — the scale path "
-    "when the corpus outgrows a broadcast. Approximate: no SQL oracle; "
-    "driver does the rows-only check.",
-    None,
+    "when the corpus outgrows a broadcast. Deterministic hyperplanes make "
+    "even this approximate path oracle-checkable.",
+    f"""
+    WITH w AS ({_DUCK_Q}),
+    bkt AS (SELECT vec_id, qv, n2, {_lsh_bucket_sql()} AS bucket FROM w)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_DUCK_COS} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {_DUCK_COS} DESC, a.vec_id) AS rank
+      FROM bkt a JOIN bkt b
+        ON a.bucket = b.bucket AND b.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 5
+    """,
 )
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, k=5, num_planes=8)
+
+
+@register(
+    "doc_fingerprint_rolling",
+    "Rabin-Karp rolling-hash document fingerprint over the token stream "
+    "(order-sensitive, mod-2^31 exact integer arithmetic) — the "
+    "shift-tolerant fingerprinting primitive (operators/text.py).",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_DUCK_TOKENS},
+                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {text.ROLLHASH_MOD})),
+             (acc, t) -> (acc * {text.ROLLHASH_BASE} + t) % {text.ROLLHASH_MOD}
+           ) AS roll_hash
+    FROM documents
+    """,
+)
+def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.rolling_fingerprint(docs)
 
 
 @register(

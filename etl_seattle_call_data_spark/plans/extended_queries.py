@@ -1,0 +1,369 @@
+"""Extended operator coverage: multi-dimensional aggregates (rollup /
+cube / grouping sets), exact percentiles, the full window-function
+suite, scalar string/datetime function suites, approximate distinct
+counting, and the temporal joins (as-of, bounded range).
+
+These generalize the reference's aggregation/serving surface (SURVEY
+§2.4-2.6 — the reference itself ships only group-by-count, README.md:
+130-134, and scalar timestamp repairs, transform.py:8-97) into the
+operator set a warehouse-grade engine over the same data needs. Every
+query is oracle-paired except the approximate sketch (bounded-error by
+design, rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_seattle_call_data_spark.operators import joins
+from etl_seattle_call_data_spark.plans.queries import register
+from etl_seattle_call_data_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregates: ROLLUP / CUBE / GROUPING SETS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_pricing",
+    "ROLLUP aggregate over (returnflag, linestatus) with grouping_id — "
+    "subtotals + grand total in one pass (partial-agg friendly; one shuffle).",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    "CUBE over (orderstatus, orderpriority): all 4 grouping combinations "
+    "with exact decimal totals.",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "groupingsets_flag_status",
+    "Explicit GROUPING SETS ((returnflag), (linestatus), ()) — the general "
+    "form rollup/cube specialize; one shuffle via Expand.",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_groupingsets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles & approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentiles_by_event_type",
+    "Exact continuous percentiles (p25/p50/p75) + min/max of event value "
+    "per type — Spark percentile() ≡ DuckDB quantile_cont (verified "
+    "bit-identical interpolation).",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           min(value) AS v_min,
+           max(value) AS v_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_percentiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    "HyperLogLog++ approximate distinct users per event type beside the "
+    "exact count — the sketch path for 100 TB cardinalities where exact "
+    "distinct would shuffle every key. Bounded-error by design: no SQL "
+    "oracle; driver does the rows-only check.",
+    None,
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function suite (SURVEY §2.5 W1 — additive capability)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_suite",
+    "Full ranking/navigation window suite per customer order history: "
+    "row_number, lag, lead, ntile, percent_rank, cume_dist over a "
+    "deterministic order, rank/dense_rank over a tie-heavy order.",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER w1 AS rn,
+           -- COALESCE: NULL-free output — pandas turns nullable doubles
+           -- into NaN, which hash-compares differently from Spark's None
+           COALESCE(LAG(o_totalprice) OVER w1, -1.0) AS prev_price,
+           COALESCE(LEAD(o_totalprice) OVER w1, -1.0) AS next_price,
+           NTILE(4) OVER w1 AS quartile,
+           PERCENT_RANK() OVER w1 AS prank,
+           CUME_DIST() OVER w1 AS cdist,
+           RANK() OVER w2 AS status_rank,
+           DENSE_RANK() OVER w2 AS status_dense_rank
+    FROM orders
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderstatus)
+    """,
+)
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w1).alias("rn"),
+        F.coalesce(F.lag("o_totalprice").over(w1), F.lit(-1.0)).alias("prev_price"),
+        F.coalesce(F.lead("o_totalprice").over(w1), F.lit(-1.0)).alias("next_price"),
+        F.ntile(4).over(w1).alias("quartile"),
+        F.percent_rank().over(w1).alias("prank"),
+        F.cume_dist().over(w1).alias("cdist"),
+        F.rank().over(w2).alias("status_rank"),
+        F.dense_rank().over(w2).alias("status_dense_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suites (SURVEY §2.6 generalized)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs_suite",
+    "String scalar-function suite over part names: case, substring, pad, "
+    "concat, translate, position, split — all JVM-side Catalyst "
+    "expressions inside one codegen stage.",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           substr(p_name, 1, 5) AS prefix5,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+           CAST(len(list_filter(string_split(p_name, ' '), x -> x <> '')) AS INTEGER) AS n_words,
+           reverse(p_name) AS rname,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    """,
+)
+def q_string_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.size(F.filter(F.split("p_name", " "), lambda x: x != "")).alias("n_words"),
+        F.reverse("p_name").alias("rname"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@register(
+    "datetime_funcs_suite",
+    "Datetime scalar-function suite over order dates: field extraction, "
+    "truncation, month arithmetic, day deltas (Spark dayofweek is "
+    "1=Sunday; oracle maps DuckDB dow accordingly).",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS TIMESTAMP) AS next_month,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95
+    FROM orders
+    """,
+)
+def q_datetime_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # DATE→TIMESTAMP on both sides: pandas widens DATE columns to
+        # datetime64 anyway, so compare as timestamps
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 1).cast("timestamp").alias("next_month"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins: as-of and bounded range (operators/joins.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_click_before_purchase",
+    "Backward as-of join: for each purchase event, the user's most recent "
+    "click at-or-before it (ties → max event_id) — union+window plan, one "
+    "shuffle on user_id, no inequality join (operators/joins.py).",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.purchase_id, p.user_id, c.click_id,
+             CAST(floor(epoch(p.p_ts)) - floor(epoch(c.c_ts)) AS BIGINT) AS gap_s,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY c.c_ts DESC NULLS LAST, c.click_id DESC) AS rn
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.c_ts <= p.p_ts
+    )
+    -- COALESCE: unmatched purchases → -1 sentinel, keeping the output
+    -- NULL-free (pandas widens nullable BIGINT to float64)
+    SELECT purchase_id, user_id,
+           COALESCE(click_id, -1) AS click_id,
+           COALESCE(gap_s, -1) AS gap_s
+    FROM j WHERE rn = 1
+    """,
+)
+def q_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    j = joins.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        tie_col="event_id",
+        right_payload=["event_id", "ts"],
+        prefix="click_",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.coalesce(F.col("click_event_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp("click_ts"), F.lit(-1)
+        ).alias("gap_s"),
+    )
+
+
+@register(
+    "range_clicks_10min_before_purchase",
+    "Bounded range join: clicks in the 10 minutes before each purchase, "
+    "counted per purchase (zero-match purchases kept) — time-bucket "
+    "equi-join rewrite, constant fan-out, no theta join "
+    "(operators/joins.py).",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id, count(c.c_us) AS n_clicks
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.c_us >= p.p_us - 600000000
+     AND c.c_us < p.p_us
+    GROUP BY 1, 2
+    """,
+)
+def q_range_clicks_10min_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    counted = joins.range_join_count(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower_offset_s=-600,
+        upper_offset_s=0,
+        left_id="event_id",
+        count_alias="n_clicks",
+    )
+    return counted.select(F.col("event_id").alias("purchase_id"), "user_id", "n_clicks")

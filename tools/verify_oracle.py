@@ -1,0 +1,101 @@
+"""Driver-contract simulation: run every `queries()` entry on a
+default-config SparkSession and hash-compare against its `oracle_sql()`
+via DuckDB on the same parquet tables.
+
+Usage:
+    python tools/verify_oracle.py [query ...]      # default: all queries
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/verify_oracle.py
+
+Canonicalization mirrors the driver's order-insensitive value compare:
+columns sorted by name, rows sorted, cells normalized (numpy scalars
+unwrapped, timestamps → ISO strings, floats repr'd — exact, no
+tolerance, because the driver hashes values).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import duckdb
+    import __spark_entry__ as e
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    if not only:
+        rows = e.entry(spark).collect()
+        assert len(rows) > 0, "entry() returned 0 rows"
+        print(f"entry OK: {len(rows)} rows", file=sys.stderr)
+
+    qs, osql = e.queries(), e.oracle_sql()
+    fails = []
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        if name not in osql:
+            n = qs[name](spark, sf).count()
+            print(f"{name}: NO-ORACLE rows-only ({n} rows)", file=sys.stderr)
+            continue
+        try:
+            sdf = qs[name](spark, sf)
+            cols = sorted(sdf.columns)
+            srows = sorted(tuple(canon(r[c]) for c in cols) for r in sdf.collect())
+            odf = con.execute(osql[name]).fetchdf()
+            if sorted(odf.columns) != cols:
+                fails.append((name, f"cols {cols} vs {sorted(odf.columns)}"))
+                continue
+            orows = sorted(
+                tuple(canon(v) for v in row)
+                for row in odf[cols].itertuples(index=False, name=None)
+            )
+            if srows != orows:
+                nd = sum(1 for s, o in zip(srows, orows) if s != o) + abs(len(srows) - len(orows))
+                first = next(((s, o) for s, o in zip(srows, orows) if s != o), (srows[-1:], orows[-1:]))
+                fails.append((name, f"{nd} row diffs (of {len(srows)}/{len(orows)}); first: {first}"))
+                continue
+            print(f"{name}: OK ({len(srows)} rows)", file=sys.stderr)
+        except Exception as ex:
+            fails.append((name, f"EXC {type(ex).__name__}: {ex}"))
+
+    print(f"\n{len(fails)} FAILURES", file=sys.stderr)
+    for n, msg in fails:
+        print(f"  FAIL {n}: {str(msg)[:400]}", file=sys.stderr)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
