@@ -21,22 +21,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from etl_seattle_call_data_spark.operators.text import canonical_text, tokens
+from etl_seattle_call_data_spark.operators.util import cache_swap, spread as _spread
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit integer
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Small-input guard before explode-heavy ops: a corpus that arrives
-    in a handful of parquet splits would otherwise tokenize on a handful
-    of tasks (observed: 1 task for a single-file table). At real scale
-    the scan has natural parallelism and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -72,7 +61,7 @@ def jaccard_pairs(
     # persist the exploded shingle set: it feeds the pair join twice and
     # the size aggregation — without it Catalyst re-tokenizes the corpus
     # once per branch (observed: 8 parquet scans in the un-persisted plan)
-    sh = shingle_sets(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = cache_swap("jaccard_shingles", shingle_sets(df, id_col, text_col, n))
     inter = _shared_shingle_pairs(sh, id_col)
     return _jaccard_from_intersections(sh, inter, id_col, threshold)
 
@@ -142,7 +131,7 @@ def minhash_lsh_pairs(
     num_bands = num_hashes // rows_per_band
     # one persisted shingle set feeds signatures, candidate verification,
     # and set sizes — the whole LSH pipeline tokenizes the corpus ONCE
-    sh = shingle_sets(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = cache_swap("minhash_shingles", shingle_sets(df, id_col, text_col, n))
     sig = _minhash_from_shingles(sh, num_hashes, id_col)
     bands = F.array(
         *[
@@ -187,8 +176,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     bit j is 1 iff the sum over tokens of ±1 (sign of the token hash's
     bit j) is positive. One explode + one grouped aggregation — no
     quadratic work."""
-    tok = _spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = _token_hash60(F.col("tok"))
+    # materialize the token hash ONCE per token before the aggregation:
+    # referencing the md5 expression inside all 60 aggregates would lean
+    # on codegen subexpression elimination to avoid 60 md5 calls/token
+    tok = (
+        _spread(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .select(F.col(id_col), _token_hash60(F.col("tok")).alias("hv"))
+    )
+    h = F.col("hv")
     bit_sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
@@ -214,7 +210,9 @@ def simhash_pairs(
     4-band blocking (15 bits each). Pigeonhole: ≤3 differing bits cannot
     straddle all 4 bands, so recall is exact for max_hamming ≤ 3."""
     assert max_hamming <= 3, "4-band blocking is only exact for hamming <= 3"
-    sig = simhash(df, id_col, text_col)
+    # persist: the signature table (one row/doc) feeds BOTH sides of the
+    # band self-join; without it the tokenize+60-agg pipeline runs twice
+    sig = cache_swap("simhash_sig", simhash(df, id_col, text_col))
     bands = F.array(
         *[
             F.struct(

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_seattle_call_data_spark.operators.util import spread as _spread
+
 QUANT_SCALE = 1000
 
 
@@ -27,7 +29,18 @@ def quantize(vec_col, scale: int = QUANT_SCALE):
     return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
 
 
-def _dot(a, b):
+def _dot(a, b, dims: int | None = None):
+    """Integer dot product. Measured note (local[32], sf0.1): the
+    unrolled ``dims`` form (128 GetArrayItem nodes) blows past janino's
+    method-size limits and falls back to interpreted projection — 3×
+    SLOWER than the zip_with/aggregate form. Keep dims=None; the higher-
+    order form is the fast path here."""
+    if dims:
+        terms = [a.getItem(j) * b.getItem(j) for j in range(dims)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
@@ -50,20 +63,32 @@ def cosine_pairs(
     block_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
+    salt: int = 8,
 ) -> DataFrame:
     """Near-duplicate embedding pairs with cosine ≥ threshold, blocked by
     ``block_col`` (e.g. a cluster/label/LSH bucket) so the join is an
-    equi-join, not a corpus cross-join."""
-    q = with_quantized(df, vec_col)
+    equi-join, not a corpus cross-join.
+
+    The block join is salted ``salt`` ways: one block = one join
+    partition otherwise, and the dot-product work (CPU-heavy, byte-
+    light — AQE coalesces it to nothing) serializes on however many
+    distinct blocks exist. Side A takes hash(id)%salt, side B is
+    replicated to every salt value, so each pair still meets exactly
+    once and a hot block spreads over ``salt`` tasks."""
+    q = with_quantized(_spread(df), vec_col)
     cols = [F.col(id_col), F.col("qvec"), F.col("qnorm2")] + (
         [F.col(block_col)] if block_col else []
     )
     q = q.select(*cols)
-    on = [block_col] if block_col else []
-    a = q.select(*([F.col(c) for c in on] + [F.col(id_col).alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na")]))
-    b = q.select(*([F.col(c) for c in on] + [F.col(id_col).alias("id_b"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb")]))
+    on = ([block_col] if block_col else []) + (["__salt"] if salt > 1 else [])
+    a = q.select(*([F.col(c) for c in on if c != "__salt"] + [F.col(id_col).alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na")]))
+    b = q.select(*([F.col(c) for c in on if c != "__salt"] + [F.col(id_col).alias("id_b"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb")]))
+    if salt > 1:
+        a = a.withColumn("__salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(salt)).cast("int"))
+        b = b.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     joined = (a.join(b, on) if on else a.crossJoin(b)).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+    cos = _dot(F.col("va"), F.col("vb"), dims).cast("double") / F.sqrt(
         (F.col("na") * F.col("nb")).cast("double")
     )
     return joined.select("id_a", "id_b", cos.alias("cosine")).filter(F.col("cosine") >= threshold)
@@ -75,17 +100,18 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set against the
     corpus, window top-k per query with a deterministic (cosine desc, id)
     tie-break. The baseline/exact path; see ``lsh_topk`` for the ANN path."""
-    c = with_quantized(corpus, vec_col).select(
+    c = with_quantized(_spread(corpus), vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("vc"), F.col("qnorm2").alias("nc")
     )
     qs = with_quantized(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("vq"), F.col("qnorm2").alias("nq")
     )
-    cos = _dot(F.col("vq"), F.col("vc")).cast("double") / F.sqrt(
+    cos = _dot(F.col("vq"), F.col("vc"), dims).cast("double") / F.sqrt(
         (F.col("nq") * F.col("nc")).cast("double")
     )
     scored = (
@@ -118,11 +144,23 @@ def _hyperplane_weights(num_planes: int, dims: int) -> list[list[int]]:
     ]
 
 
-def lsh_bucket(vec_col, num_planes: int = 12, dims: int = 64, scale: int = QUANT_SCALE):
+def lsh_bucket(
+    vec_col,
+    num_planes: int = 12,
+    dims: int = 64,
+    scale: int = QUANT_SCALE,
+    quantized: bool = False,
+):
     """Sign-random-projection bucket id. 30-bit weights keep the
     projection sum far inside int64 (|x| ≤ ~10^3·2^29·dims ≈ 2^55 for
-    dims ≤ 64). Engine-independent and reproducible."""
-    q = quantize(vec_col, scale)
+    dims ≤ 64). Engine-independent and reproducible.
+
+    Pass ``quantized=True`` with a materialized qvec column: embedding
+    the quantize subtree in all ``num_planes`` plane expressions
+    multiplies analysis/codegen cost for zero runtime benefit."""
+    q = vec_col if quantized else quantize(vec_col, scale)
+    if quantized and isinstance(q, str):
+        q = F.col(q)
     weights = _hyperplane_weights(num_planes, dims)
     bits = []
     for p in range(num_planes):
@@ -150,15 +188,20 @@ def lsh_topk(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """ANN top-k: bucket corpus and queries by sign-LSH, equi-join on the
     bucket, exact re-rank inside. Approximate (single probe); the scale
     path when the corpus no longer fits a broadcast cross-join."""
-    c = with_quantized(corpus, vec_col).withColumn("bucket", lsh_bucket(vec_col, num_planes))
-    qs = with_quantized(queries, vec_col).withColumn("bucket", lsh_bucket(vec_col, num_planes))
+    c = with_quantized(_spread(corpus), vec_col).withColumn(
+        "bucket", lsh_bucket("qvec", num_planes, quantized=True)
+    )
+    qs = with_quantized(queries, vec_col).withColumn(
+        "bucket", lsh_bucket("qvec", num_planes, quantized=True)
+    )
     cc = c.select("bucket", F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("vc"), F.col("qnorm2").alias("nc"))
     qq = qs.select("bucket", F.col(id_col).alias("query_id"), F.col("qvec").alias("vq"), F.col("qnorm2").alias("nq"))
-    cos = _dot(F.col("vq"), F.col("vc")).cast("double") / F.sqrt(
+    cos = _dot(F.col("vq"), F.col("vc"), dims).cast("double") / F.sqrt(
         (F.col("nq") * F.col("nc")).cast("double")
     )
     scored = (

@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesce floor: with the default 1m floor, a byte-light but
+        # CPU-heavy shuffle (pair joins computing per-row dot products /
+        # Jaccard) collapses to 1-2 tasks and serializes. 64k keeps such
+        # stages wide; large shuffles are still governed by the 64m
+        # advisory target, so this is scale-neutral.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Oracle parity: DuckDB timestamps are UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
