@@ -1,0 +1,125 @@
+"""Stateful streaming operator tests: watermarked dedup, session
+windows, and custom applyInPandasWithState running aggregates — each
+driven by a file-source micro-batch stream to completion."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_seattle_call_data_spark.streaming.stateful import (
+    dedup_stream,
+    running_user_stats,
+    sessionized_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(path, rows):
+    path.write_text(
+        "\n".join(
+            json.dumps({"event_id": e, "ts": ts, "user_id": u, "value": v})
+            for e, ts, u, v in rows
+        )
+    )
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+
+@pytest.fixture()
+def src(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    return d
+
+
+def test_dedup_stream_drops_redelivery(spark, src, tmp_path):
+    _write_batch(src / "b1.json", [(1, "2024-01-01T00:00:00", 7, 1.0), (2, "2024-01-01T00:00:30", 7, 2.0)])
+    out = dedup_stream(_stream(spark, src), key="event_id", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2 re-delivers event 1 (same key) and adds event 3
+    _write_batch(src / "b2.json", [(1, "2024-01-01T00:00:00", 7, 1.0), (3, "2024-01-01T00:01:00", 8, 3.0)])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]  # no duplicate 1
+
+
+def test_sessionized_counts(spark, src, tmp_path):
+    # user 7: two events 5 min apart (one session), then one 2 h later
+    _write_batch(
+        src / "b1.json",
+        [
+            (1, "2024-01-01T00:00:00", 7, 1.0),
+            (2, "2024-01-01T00:05:00", 7, 1.0),
+            (3, "2024-01-01T02:00:00", 7, 1.0),
+        ],
+    )
+    out = sessionized_counts(_stream(spark, src), key="user_id", ts_col="ts", gap="30 minutes")
+    # session windows emit on watermark passage → append mode + flush
+    # batches that advance event time past each session's close
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    _write_batch(src / "b2_flush.json", [(90, "2024-01-02T00:00:00", 9, 0.0)])
+    q.processAllAvailable()
+    _write_batch(src / "b3_flush.json", [(91, "2024-01-03T00:00:00", 9, 0.0)])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_out WHERE user_id = 7").collect()
+    by_n = sorted((r.n_events, r.session_start.hour) for r in rows)
+    assert by_n == [(1, 2), (2, 0)]  # one 2-event session @00h, one 1-event @02h
+
+
+def test_running_user_stats_accumulates(spark, src, tmp_path):
+    _write_batch(src / "b1.json", [(1, "2024-01-01T00:00:00", 7, 1.5), (2, "2024-01-01T00:01:00", 7, 2.5)])
+    out = running_user_stats(_stream(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stats_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    _write_batch(src / "b2.json", [(3, "2024-01-01T00:02:00", 7, 6.0), (4, "2024-01-01T00:02:30", 8, 10.0)])
+    q.processAllAvailable()
+    q.stop()
+    # last update per user wins: state carried ACROSS micro-batches
+    rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM stats_out"
+    ).collect()
+    latest = {}
+    for r in rows:  # memory sink appends updates in batch order
+        latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[7] == (3, 10.0)  # 1.5 + 2.5 + 6.0 across two batches
+    assert latest[8] == (1, 10.0)
