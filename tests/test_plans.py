@@ -1,0 +1,64 @@
+"""Physical-plan evidence tests (SURVEY §4): the scale claims in the
+README are asserted against `.explain` output, not just prose —
+predicate/column pushdown into parquet scans, broadcast hash joins for
+small dimensions, anti-join planning, and zero row-at-a-time Python
+UDFs anywhere in the relational surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_seattle_call_data_spark.plans.queries import REGISTRY
+from etl_seattle_call_data_spark.sources.registry import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_and_column_pushdown(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must read only the 3 referenced columns
+    rs = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" in rs and "l_shipdate" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_comment" not in rs
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(REGISTRY["star_join_region_revenue"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan  # small dims broadcast, fact never shuffles for them
+
+
+def test_anti_join_is_planned_as_anti(spark):
+    plan = _plan(REGISTRY["anti_join_cascade"].spark(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = REGISTRY["q1_pricing_summary"].spark(spark, SF)
+    df.collect()  # AQE finalizes (and codegens) the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # "*(n)" prefixes = operators fused into WholeStageCodegen stage n
+    assert "*(" in plan
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_row_at_a_time_python_udf(spark, name):
+    """BatchEvalPython = per-row Python UDF (the reference's F1 pattern,
+    SURVEY §4.1). The engine's only Python hops are Arrow-batched
+    (MapInPandas / FlatMapGroupsInPandas), and only in the multimodal
+    path."""
+    plan = _plan(REGISTRY[name].spark(spark, SF), mode="simple")
+    assert "BatchEvalPython" not in plan
+    if name != "multimodal_features":
+        assert "MapInPandas" not in plan
