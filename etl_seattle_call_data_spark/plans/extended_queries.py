@@ -268,6 +268,125 @@ def q_datetime_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join variants and classic analytics shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_urgent_customers",
+    "Left-semi join: customers with ≥1 urgent order — the EXISTS shape "
+    "(complement of the reference's lone anti-join, transform.py:138-143); "
+    "plans as a broadcast/shuffled hash semi join, no row duplication.",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q3_shipping_priority",
+    "TPC-H-Q3-style 3-way join + revenue top-10: customer⋈orders⋈lineitem, "
+    "decimal-exact revenue, deterministic (revenue DESC, orderkey) order.",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "json_extract_props",
+    "JSON-path extraction from the event props payload (the streaming "
+    "path's from_json sibling, SURVEY S10) aggregated per event type.",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           -- CAST: DuckDB SUM(BIGINT) → HUGEINT → pandas float64
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
+           MAX(CAST(props->>'k' AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+@register(
+    "array_funcs_suite",
+    "Array scalar-function suite over embedding vectors: size, element "
+    "access, min/max, bounded slice-sum — scalar outputs (driver-hash "
+    "friendly), exact float32→double widening on both engines.",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[len(embedding)] AS DOUBLE) AS last_val,
+           CAST(list_min(embedding) AS DOUBLE) AS v_min,
+           CAST(list_max(embedding) AS DOUBLE) AS v_max,
+           CAST(list_sum(list_transform(embedding[1:8],
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS head8_qsum
+    FROM embeddings
+    """,
+)
+def q_array_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    q8 = F.transform(F.slice(e, 1, 8), lambda x: F.round(x.cast("double") * 1000).cast("long"))
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("n_dims"),
+        F.element_at(e, 1).cast("double").alias("first_val"),
+        F.element_at(e, F.size(e)).cast("double").alias("last_val"),
+        F.array_min(e).cast("double").alias("v_min"),
+        F.array_max(e).cast("double").alias("v_max"),
+        F.aggregate(q8, F.lit(0).cast("long"), lambda a, x: a + x).alias("head8_qsum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temporal joins: as-of and bounded range (operators/joins.py)
 # ---------------------------------------------------------------------------
 
