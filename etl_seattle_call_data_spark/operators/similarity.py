@@ -215,3 +215,75 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def seeded_centroids(
+    corpus: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[int]]]:
+    """IVF coarse quantizer: the ``n_cells`` lowest-id vectors, quantized,
+    as (centroid_id, qvec) sorted by id. Deterministic (no RNG, no
+    k-means iteration order), so the cell assignment is oracle-checkable.
+    Collected driver-side: a coarse codebook is tiny by definition (this
+    is the same footprint as broadcasting trained k-means centers)."""
+    rows = (
+        with_quantized(corpus.filter(F.col(id_col) < n_cells), vec_col)
+        .select(F.col(id_col), F.col("qvec"))
+        .collect()
+    )
+    return sorted((r[0], list(r[1])) for r in rows)
+
+
+def _ivf_cell(centroids: list[tuple[int, list[int]]], qvec) -> "F.Column":
+    """argmin over centroids of quantized L2² (ties → lowest centroid id).
+    One zip_with/aggregate per centroid against an array literal — same
+    plan-size discipline as lsh_bucket."""
+    dists = []
+    for cid, cq in centroids:
+        lit = F.lit(cq).cast("array<long>")
+        d = F.aggregate(
+            F.zip_with(qvec, lit, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        dists.append((cid, d))
+    best = F.least(*[d for _, d in dists])
+    cell = F.when(dists[0][1] == best, F.lit(dists[0][0]))
+    for cid, d in dists[1:]:
+        cell = cell.when(d == best, F.lit(cid))
+    return cell
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: assign every vector to its nearest coarse
+    centroid cell, equi-join query↔corpus on the cell (single probe),
+    exact cosine re-rank inside. The inverted-file alternative to
+    ``lsh_topk``: cells follow the data distribution (centroids) instead
+    of fixed random hyperplanes. At scale the cell column doubles as the
+    physical partition key for the corpus, so one probe = one partition
+    read."""
+    cents = seeded_centroids(corpus, n_cells, id_col, vec_col)
+    c = with_quantized(_spread(corpus), vec_col).withColumn("cell", _ivf_cell(cents, F.col("qvec")))
+    qs = with_quantized(queries, vec_col).withColumn("cell", _ivf_cell(cents, F.col("qvec")))
+    cc = c.select("cell", F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("vc"), F.col("qnorm2").alias("nc"))
+    qq = qs.select("cell", F.col(id_col).alias("query_id"), F.col("qvec").alias("vq"), F.col("qnorm2").alias("nq"))
+    cos = _dot(F.col("vq"), F.col("vc")).cast("double") / F.sqrt(
+        (F.col("nq") * F.col("nc")).cast("double")
+    )
+    scored = (
+        cc.join(qq, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

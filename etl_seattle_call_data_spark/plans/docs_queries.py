@@ -337,6 +337,46 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, num_planes=8)
 
 
+_IVF_DIST = (
+    "list_sum(list_transform(range(1, len(v.qv) + 1), "
+    "i -> (v.qv[i] - c.qv[i]) * (v.qv[i] - c.qv[i])))"
+)
+
+
+@register(
+    "similarity_topk_ivf",
+    "IVF-style ANN top-5: nearest-coarse-centroid cells (8 seeded "
+    "deterministic centroids), single-probe equi-join on the cell, exact "
+    "in-cell cosine re-rank — the inverted-file scale path where the cell "
+    "doubles as the corpus partition key.",
+    f"""
+    WITH w AS ({_DUCK_Q}),
+    cand AS (
+      SELECT v.vec_id, c.vec_id AS cvid, {_IVF_DIST} AS d
+      FROM w v JOIN w c ON c.vec_id < 8
+    ),
+    cells AS (
+      SELECT vec_id, cvid AS cell FROM (
+        SELECT vec_id, cvid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cvid) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    bkt AS (SELECT w.*, cells.cell FROM w JOIN cells USING (vec_id))
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_DUCK_COS} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {_DUCK_COS} DESC, a.vec_id) AS rank
+      FROM bkt a JOIN bkt b
+        ON a.cell = b.cell AND b.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=8)
+
+
 @register(
     "doc_fingerprint_rolling",
     "Rabin-Karp rolling-hash document fingerprint over the token stream "

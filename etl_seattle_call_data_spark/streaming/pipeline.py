@@ -117,3 +117,13 @@ def run_windowed_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch equi-joins the
+    (unbounded) stream side against a static dimension snapshot. Spark
+    plans the static side as a broadcast when small — the stream never
+    shuffles for the join and no state store is involved (unlike
+    stream-stream joins). The streaming face of the star-schema
+    consumption joins (SURVEY J2)."""
+    return stream.join(F.broadcast(dim), on, "left")

@@ -95,3 +95,23 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert got[1] != got[2]  # order-sensitive, unlike the md5 bag fingerprint
     assert got[4] == 0  # empty doc → fold identity
     assert all(0 <= v < text.ROLLHASH_MOD for v in got.values())
+
+
+def test_ivf_topk_probes_own_cell(spark):
+    from etl_seattle_call_data_spark.operators import similarity
+
+    # 4 tight clusters around orthogonal-ish axes; centroids = ids 0-3
+    base = [
+        [10.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0],
+    ]
+    rows = [(i, [x + 0.0 for x in base[i]]) for i in range(4)]
+    rows += [(10 + i, [x * 0.9 + 0.1 for x in base[i]]) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter("vec_id < 4")
+    out = similarity.ivf_topk(emb, queries, k=1, n_cells=4)
+    got = {r.query_id: r.neighbor_id for r in out.collect()}
+    # each centroid's nearest in-cell neighbor is its own cluster member
+    assert got == {0: 10, 1: 11, 2: 12, 3: 13}

@@ -123,3 +123,22 @@ def test_running_user_stats_accumulates(spark, src, tmp_path):
         latest[r.user_id] = (r.n_events, r.total_value)
     assert latest[7] == (3, 10.0)  # 1.5 + 2.5 + 6.0 across two batches
     assert latest[8] == (1, 10.0)
+
+
+def test_stream_static_enrichment(spark, src, tmp_path):
+    from etl_seattle_call_data_spark.streaming.pipeline import enrich_with_dim
+
+    _write_batch(src / "b1.json", [(1, "2024-01-01T00:00:00", 7, 1.0), (2, "2024-01-01T00:01:00", 9, 2.0)])
+    dim = spark.createDataFrame([(7, "gold"), (8, "silver")], ["user_id", "tier"])
+    out = enrich_with_dim(_stream(spark, src), dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.event_id: r.tier for r in spark.sql("SELECT event_id, tier FROM enriched").collect()}
+    assert rows == {1: "gold", 2: None}  # left join: unmatched stream rows survive
