@@ -182,6 +182,33 @@ def lsh_bucket(
     return out
 
 
+def lsh_bucket_vectorized(num_planes: int = 8, dims: int = 64):
+    """Arrow-batched sign-random-projection bucket id over a qvec column:
+    one int64 matmul against the hyperplane matrix per batch. Same
+    deterministic md5 weights (and therefore the same oracle) as
+    ``lsh_bucket``; the Catalyst HOF form evaluates ~num_planes×dims
+    interpreted lambdas per row (~5 ms/row at 8×64 — see the IVF cell
+    note), the matmul is microseconds per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    wmat = _hyperplane_weights(num_planes, dims)
+    powers = [2**p for p in range(num_planes)]
+
+    @pandas_udf("long")
+    def bucket(qvecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        w = np.asarray(wmat, dtype=np.int64)  # (planes, dims)
+        pw = np.asarray(powers, dtype=np.int64)
+        q = np.stack(qvecs.to_numpy()).astype(np.int64)  # (n, actual_dims)
+        # vectors shorter than the plane use its leading weights — the
+        # same truncation the JVM zip_with null-pad + coalesce(x,0) gives
+        m = min(q.shape[1], w.shape[1])
+        return pd.Series(((q[:, :m] @ w[:, :m].T > 0) * pw[None, :]).sum(axis=1))
+
+    return bucket
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -194,12 +221,9 @@ def lsh_topk(
     """ANN top-k: bucket corpus and queries by sign-LSH, equi-join on the
     bucket, exact re-rank inside. Approximate (single probe); the scale
     path when the corpus no longer fits a broadcast cross-join."""
-    c = with_quantized(_spread(corpus), vec_col).withColumn(
-        "bucket", lsh_bucket("qvec", num_planes, quantized=True)
-    )
-    qs = with_quantized(queries, vec_col).withColumn(
-        "bucket", lsh_bucket("qvec", num_planes, quantized=True)
-    )
+    bucket = lsh_bucket_vectorized(num_planes)
+    c = with_quantized(_spread(corpus), vec_col).withColumn("bucket", bucket(F.col("qvec")))
+    qs = with_quantized(queries, vec_col).withColumn("bucket", bucket(F.col("qvec")))
     cc = c.select("bucket", F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("vc"), F.col("qnorm2").alias("nc"))
     qq = qs.select("bucket", F.col(id_col).alias("query_id"), F.col("qvec").alias("vq"), F.col("qnorm2").alias("nq"))
     cos = _dot(F.col("vq"), F.col("vc"), dims).cast("double") / F.sqrt(
