@@ -268,6 +268,66 @@ def q_datetime_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pivot / unpivot
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_user_event_matrix",
+    "Pivot: per-user event-type count matrix (long → wide). Spark plans "
+    "pivot as one partial+final hash aggregation — the oracle spells out "
+    "the equivalent conditional aggregation.",
+    f"""
+    SELECT user_id,
+           {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (user, type) pair never occurred
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "unpivot_order_amounts",
+    "Unpivot/melt (wide → long): order price and per-item aggregates as "
+    "(orderkey, measure, value) rows via the native unpivot operator.",
+    """
+    SELECT o_orderkey, measure, value FROM (
+      SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    """,
+)
+def q_unpivot_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", F.col("o_totalprice"), F.col("o_custkey").cast("double")
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "o_totalprice", "totalprice").otherwise("custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Join variants and classic analytics shapes
 # ---------------------------------------------------------------------------
 
