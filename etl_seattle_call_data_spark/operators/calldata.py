@@ -231,10 +231,19 @@ def mint_surrogate_keys(df: DataFrame, natural_key: str = "call_sign_dispatch_id
     The reference's observable semantics: all five dim ids carry the same
     per-row value, 1:1 with the fact row (vertical partition, dims NOT
     deduplicated — SURVEY §7.4.2). We preserve that but make the value a
-    deterministic ``xxhash64`` of the natural row key: reproducible across
-    runs/partitionings and requires no shuffle or global ordering at any
-    scale."""
-    key = F.xxhash64(F.col(natural_key).cast("string"))
+    deterministic ``xxhash64`` of a composite row key — (cad_event_number,
+    dispatch id, dispatch time), which together identify one dispatch
+    record — so the id is reproducible across runs/partitionings with no
+    shuffle or global ordering at any scale. Hashing the dispatch id
+    alone would collide whenever a natural key repeats (and join_star's
+    inner joins on the dim ids would then fan out m×m); the composite
+    makes a collision require two rows identical in all three fields or
+    a 64-bit birthday coincidence."""
+    key = F.xxhash64(
+        F.col("cad_event_number").cast("string"),
+        F.col(natural_key).cast("string"),
+        F.col("call_sign_dispatch_time").cast("string"),
+    )
     return df.withColumns(
         {
             "dim_care_spd_id": key,

@@ -49,19 +49,51 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
+def cap_document_frequency(sh: DataFrame, max_df: int, id_col: str = "doc_id") -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` — the
+    CCNet/suffix-array-style hot-key bound for shared-shingle joins.
+
+    Without it a shingle present in k documents contributes k² candidate
+    pairs to the self-join: one boilerplate shingle in 1M docs is a
+    10¹²-pair hot key, the quadratic blow-up that kills shared-token
+    joins at corpus scale. With the cap, per-shingle fan-out is ≤
+    max_df², so candidate volume is linear in corpus size for fixed
+    max_df. High-DF shingles are boilerplate (headers, license text) and
+    carry no near-duplicate signal, which is why dropping them from the
+    representation (sizes AND intersections, keeping Jaccard internally
+    consistent) is the standard trick.
+
+    The hot-shingle set is small by construction (≤ total_occurrences /
+    max_df rows) — AQE picks a broadcast anti-join when it fits."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via a shared-shingle
-    equi-join (no cross join): |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|."""
+    equi-join (no cross join): |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_df`` (strongly recommended at scale) bounds the per-shingle
+    join fan-out — see ``cap_document_frequency``."""
     # persist the exploded shingle set: it feeds the pair join twice and
     # the size aggregation — without it Catalyst re-tokenizes the corpus
     # once per branch (observed: 8 parquet scans in the un-persisted plan)
-    sh = cache_swap("jaccard_shingles", shingle_sets(df, id_col, text_col, n))
+    sh = shingle_sets(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = cap_document_frequency(sh, max_df, id_col)
+    sh = cache_swap("jaccard_shingles", sh)
     inter = _shared_shingle_pairs(sh, id_col)
     return _jaccard_from_intersections(sh, inter, id_col, threshold)
 

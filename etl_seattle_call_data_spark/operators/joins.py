@@ -99,13 +99,27 @@ def range_join_count(
     (keys, bucket), and zero-match left rows survive (left join), all of
     which hold at any scale.
     """
+    if upper_offset_s <= lower_offset_s:
+        raise ValueError(
+            f"range_join_count: empty window [{lower_offset_s}, {upper_offset_s}) — "
+            "upper_offset_s must be strictly greater than lower_offset_s "
+            "(an equal pair would make the bucket span 0 and every bucket NULL)"
+        )
     span_us = (upper_offset_s - lower_offset_s) * MICROS
     lo_us, hi_us = lower_offset_s * MICROS, upper_offset_s * MICROS
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
 
-    # integral DIV: double division near 1e15 µs epochs can land a
-    # boundary value in the wrong bucket
+    # integral FLOOR division: double division near 1e15 µs epochs can
+    # land a boundary value in the wrong bucket, and SQL DIV truncates
+    # toward zero, so pre-1970 (negative-µs) timestamps would bucket-
+    # mismatch across the two sides — correct the truncation explicitly
+    def _fdiv(expr: str) -> str:
+        return (
+            f"(({expr}) DIV {span_us}) - "
+            f"(CASE WHEN ({expr}) % {span_us} < 0 THEN 1 ELSE 0 END)"
+        )
+
     l_b = (
         left.withColumn("__l_us", l_us)
         .withColumn(
@@ -113,8 +127,8 @@ def range_join_count(
             F.explode(
                 F.array_distinct(
                     F.array(
-                        F.expr(f"(__l_us + {lo_us}) DIV {span_us}"),
-                        F.expr(f"(__l_us + {hi_us} - 1) DIV {span_us}"),
+                        F.expr(_fdiv(f"__l_us + {lo_us}")),
+                        F.expr(_fdiv(f"__l_us + {hi_us} - 1")),
                     )
                 )
             ),
@@ -123,7 +137,7 @@ def range_join_count(
     r_b = right.select(
         *[F.col(c) for c in on],
         r_us.alias("__r_us"),
-    ).withColumn("__bucket", F.expr(f"__r_us DIV {span_us}"))
+    ).withColumn("__bucket", F.expr(_fdiv("__r_us")))
     matched = (
         l_b.join(r_b, on + ["__bucket"])
         .filter(

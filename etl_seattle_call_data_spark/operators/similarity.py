@@ -168,10 +168,13 @@ def lsh_bucket(
         # one array Literal node (not 64 child literals): keeps the plan
         # small and codegen fast across 8 planes
         plane = F.lit(weights[p]).cast("array<long>")
-        # coalesce: zip_with null-pads when the vector is shorter than the
-        # plane (dims default), padded entries must contribute 0
+        # coalesce the PRODUCT: zip_with null-pads whichever side is
+        # shorter (vector shorter than plane → x null; vector longer than
+        # plane → w null), and either null must contribute 0 — coalescing
+        # only x would let a null w poison the whole aggregate (every bit
+        # forced to 0 for vectors longer than `dims`)
         proj = F.aggregate(
-            F.zip_with(q, plane, lambda x, w: F.coalesce(x, F.lit(0).cast("long")) * w),
+            F.zip_with(q, plane, lambda x, w: F.coalesce(x * w, F.lit(0).cast("long"))),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
@@ -200,11 +203,24 @@ def lsh_bucket_vectorized(num_planes: int = 8, dims: int = 64):
 
         w = np.asarray(wmat, dtype=np.int64)  # (planes, dims)
         pw = np.asarray(powers, dtype=np.int64)
-        q = np.stack(qvecs.to_numpy()).astype(np.int64)  # (n, actual_dims)
-        # vectors shorter than the plane use its leading weights — the
-        # same truncation the JVM zip_with null-pad + coalesce(x,0) gives
-        m = min(q.shape[1], w.shape[1])
-        return pd.Series(((q[:, :m] @ w[:, :m].T > 0) * pw[None, :]).sum(axis=1))
+        arrs = qvecs.to_numpy()
+        n = len(arrs)
+        lengths = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        if n and (lengths == lengths[0]).all():
+            # fast path (uniform dims, the normal case): one stacked matmul
+            q = np.stack(arrs).astype(np.int64)  # (n, actual_dims)
+            m = min(q.shape[1], w.shape[1])
+            proj = q[:, :m] @ w[:, :m].T
+        else:
+            # ragged batch: truncate/zero-pad per row (np.stack would
+            # raise); same truncation semantics as the uniform path and
+            # the JVM zip_with + coalesce(x*w, 0) form
+            proj = np.zeros((n, w.shape[0]), dtype=np.int64)
+            for i, a in enumerate(arrs):
+                a = np.asarray(a, dtype=np.int64)
+                m = min(len(a), w.shape[1])
+                proj[i] = a[:m] @ w[:, :m].T
+        return pd.Series(((proj > 0) * pw[None, :]).sum(axis=1))
 
     return bucket
 

@@ -12,7 +12,13 @@ def spread(df: DataFrame) -> DataFrame:
     for a single-file table, serializing the whole stage). At real scale
     the scan has natural parallelism and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # file count is a plan-side metadata probe; df.rdd.getNumPartitions()
+        # would build (and translate) the whole RDD plan per invocation
+        n_input = len(df.inputFiles())
+    except Exception:
+        return df.repartition(target)
+    if 0 < n_input < target:
         return df.repartition(target)
     return df
 

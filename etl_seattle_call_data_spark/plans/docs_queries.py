@@ -25,8 +25,18 @@ _DUCK_SHINGLES = f"""
         ELSE [] END) AS shingle
     FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents)
 """
-_DUCK_JACCARD = f"""
-  sh AS ({_DUCK_SHINGLES}),
+def _duck_jaccard(max_df: int | None = None) -> str:
+    """Jaccard CTE chain; ``max_df`` mirrors operators/dedup.py::
+    cap_document_frequency (shingles with document frequency > max_df are
+    dropped from sizes AND intersections)."""
+    if max_df is None:
+        sh_cte = f"sh AS ({_DUCK_SHINGLES})"
+    else:
+        sh_cte = f"""sh_all AS ({_DUCK_SHINGLES}),
+  kept AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= {max_df}),
+  sh AS (SELECT a.doc_id, a.shingle FROM sh_all a JOIN kept USING (shingle))"""
+    return f"""
+  {sh_cte},
   sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
   inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
@@ -38,6 +48,9 @@ _DUCK_JACCARD = f"""
     FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
   )
 """
+
+
+_DUCK_JACCARD = _duck_jaccard()
 
 
 @register(
@@ -136,19 +149,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(docs)
 
 
+_JACCARD_MAX_DF = 100
+
+
 @register(
     "dedup_ngram_jaccard",
     "Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shared-shingle "
-    "equi-join — candidate generation scales with duplicate density, never "
-    "cross-joins the corpus.",
+    "equi-join with a document-frequency cap (df ≤ 100) on the shingle "
+    "table — bounds per-shingle join fan-out to max_df², the hot-key "
+    "guard that keeps candidate volume linear in corpus size.",
     f"""
-    WITH {_DUCK_JACCARD}
+    WITH {_duck_jaccard(max_df=_JACCARD_MAX_DF)}
     SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, threshold=0.5)
+    return dedup.jaccard_pairs(docs, threshold=0.5, max_df=_JACCARD_MAX_DF)
 
 
 def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
@@ -412,10 +429,18 @@ def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Multimodal plumbing: binary payload + typed metadata columns through "
     "an Arrow-batched mapInPandas feature extractor (decode step stubbed "
     "deterministically — no media libs in this env). Python-side batch op: "
-    "no SQL oracle; driver does the rows-only check.",
+    "no SQL oracle; driver does the rows-only check. The feature vector is "
+    "flattened to per-dim scalar columns (f0..f7): every output cell must "
+    "be scalar for the driver's pandas canonicalizer.",
     None,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "byte_checksum",
+        *[F.element_at(F.col("feature"), j + 1).alias(f"f{j}") for j in range(8)],
+    )

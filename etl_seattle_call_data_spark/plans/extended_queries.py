@@ -128,16 +128,34 @@ def q_percentiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_users",
     "HyperLogLog++ approximate distinct users per event type beside the "
     "exact count — the sketch path for 100 TB cardinalities where exact "
-    "distinct would shuffle every key. Bounded-error by design: no SQL "
-    "oracle; driver does the rows-only check.",
-    None,
+    "distinct would shuffle every key. Oracle-checkable despite the "
+    "bounded-error sketch: the output carries the exact columns plus a "
+    "derived approx_within_bounds flag (|approx−exact|/exact ≤ 3·rsd, the "
+    "HLL++ guarantee), which the oracle asserts as TRUE.",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           count(*) AS n_events,
+           TRUE AS approx_within_bounds
+    FROM events
+    GROUP BY event_type
+    """,
 )
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+    rsd = 0.01
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("n_users_approx"),
         F.count_distinct("user_id").alias("n_users_exact"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    within = (
+        F.abs(F.col("n_users_approx") - F.col("n_users_exact")).cast("double")
+        / F.col("n_users_exact").cast("double")
+        <= F.lit(3 * rsd)
+    )
+    return agg.select(
+        "event_type", "n_users_exact", "n_events", within.alias("approx_within_bounds")
     )
 
 
@@ -378,7 +396,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
+        F.broadcast(c).join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))

@@ -24,10 +24,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def dedup_stream(df: DataFrame, key: str, ts_col: str, watermark: str = "10 minutes") -> DataFrame:
-    """Drop re-delivered records by key. The watermark bounds the dedup
-    state: a key older than the horizon is evicted, so state is O(keys
-    per horizon), not O(stream)."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates([key])
+    """Drop re-delivered records by key. Uses
+    ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates([key])``
+    with the event-time column absent from the subset NEVER evicts state
+    (the watermark only bounds state when the subset contains the
+    event-time column), so state would grow with every distinct key ever
+    seen. The within-watermark variant evicts a key's state once the
+    watermark passes its last-seen event time, so state is O(keys per
+    horizon), not O(stream) — the property that makes this viable on an
+    unbounded stream. (Trade: a duplicate arriving later than the
+    watermark horizon after its original is re-emitted — the documented
+    bound.)"""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
 
 
 def sessionized_counts(

@@ -122,3 +122,23 @@ def test_star_split_and_write(transformed, spark, tmp_path):
     # round-trip: re-joining the star tables reproduces the fact row count
     wide = join_star(tables)
     assert wide.count() == 7
+
+
+def test_surrogate_keys_survive_duplicate_dispatch_ids(spark):
+    # two rows sharing a call_sign_dispatch_id must still mint distinct
+    # dim ids (the composite key includes event number + dispatch time);
+    # hashing the dispatch id alone would collide and join_star would
+    # then fan out m×m on the dim joins
+    from etl_seattle_call_data_spark.operators.calldata import mint_surrogate_keys
+
+    df = spark.createDataFrame(
+        [
+            ("2024000001", "D1", "2024-01-01 10:00:00"),
+            ("2024000002", "D1", "2024-01-01 11:00:00"),  # same dispatch id
+            ("2024000001", "D1", "2024-01-01 10:00:00"),  # true duplicate row
+        ],
+        ["cad_event_number", "call_sign_dispatch_id", "call_sign_dispatch_time"],
+    )
+    out = mint_surrogate_keys(df).collect()
+    assert out[0].dim_cad_event_id != out[1].dim_cad_event_id
+    assert out[0].dim_cad_event_id == out[2].dim_cad_event_id  # deterministic

@@ -115,3 +115,30 @@ def test_ivf_topk_probes_own_cell(spark):
     got = {r.query_id: r.neighbor_id for r in out.collect()}
     # each centroid's nearest in-cell neighbor is its own cluster member
     assert got == {0: 10, 1: 11, 2: 12, 3: 13}
+
+
+def test_range_join_rejects_empty_window(clicks_and_buys):
+    clicks, buys = clicks_and_buys
+    import pytest
+
+    with pytest.raises(ValueError, match="upper_offset_s"):
+        joins.range_join_count(
+            buys, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+            lower_offset_s=0, upper_offset_s=0, left_id="event_id",
+        )
+
+
+def test_range_join_pre_epoch_timestamps(spark):
+    # negative epoch micros: truncate-toward-zero DIV would bucket-mismatch
+    # the two sides around t=0; floor semantics must keep the match
+    left = spark.createDataFrame(
+        [(1, 7, "1969-12-31 23:59:30")], ["id", "user_id", "s"]
+    ).withColumn("ts", F.col("s").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(7, "1969-12-31 23:59:00"), (7, "1969-12-31 23:58:00")], ["user_id", "s"]
+    ).withColumn("ts", F.col("s").cast("timestamp"))
+    out = joins.range_join_count(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_offset_s=-60, upper_offset_s=0, left_id="id",
+    )
+    assert out.collect()[0].n_matches == 1  # 23:59:00 in [−60s, 0s), 23:58:00 out

@@ -103,3 +103,58 @@ def test_quality_and_langid_edges(spark):
     assert q[3].n_tokens == 0 and q[3].quality_score is not None
     langs = {r.doc_id: r.pred_lang for r in text.language_id(docs).collect()}
     assert langs[1] == "en" and langs[2] == "unknown" and langs[3] == "unknown"
+
+
+def test_jaccard_df_cap_drops_hot_shingles(spark):
+    # 6 docs all sharing one boilerplate sentence; pairwise only the
+    # boilerplate overlaps. With max_df below the corpus size the hot
+    # shingles drop out of the representation, so no candidate pair is
+    # generated at all — the hot-key bound in action.
+    boiler = "this legal notice applies to every document in the corpus"
+    rows = [(i, f"unique{i} body{i} content{i} {boiler}") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.jaccard_pairs(docs, threshold=0.01, max_df=5).collect()
+    assert capped == []
+    # uncapped, every pair shares the boilerplate shingles
+    uncapped = dedup.jaccard_pairs(docs, threshold=0.01).collect()
+    assert len(uncapped) == 15
+
+
+def test_jaccard_df_cap_keeps_real_dups(docs):
+    # cap far above the corpus df: results identical to uncapped
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.5, max_df=1000).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert capped == uncapped and (1, 2) in capped
+
+
+def test_lsh_bucket_forms_agree_on_long_and_ragged_vectors(spark):
+    # vectors LONGER than the plane (dims=4 here) and a ragged batch:
+    # the HOF form, the vectorized form, and truncation semantics agree
+    rows = [
+        (0, [1.0, -2.0, 3.0, -4.0]),
+        (1, [1.0, -2.0, 3.0, -4.0, 99.0, -99.0]),  # longer than dims
+        (2, [1.0, -2.0]),  # shorter than dims
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = similarity.with_quantized(emb)
+    hof = {
+        r.vec_id: r.b
+        for r in q.select(
+            "vec_id",
+            similarity.lsh_bucket(F.col("qvec"), num_planes=6, dims=4, quantized=True).alias("b"),
+        ).collect()
+    }
+    vec = {
+        r.vec_id: r.b
+        for r in q.select(
+            "vec_id", similarity.lsh_bucket_vectorized(num_planes=6, dims=4)(F.col("qvec")).alias("b")
+        ).collect()
+    }
+    assert hof == vec
+    assert hof[0] == hof[1]  # extra dims beyond the plane contribute 0
