@@ -109,17 +109,15 @@ def write_star_schema(
     """Write each table as parquet; returns written row counts (read-back
     verified, reference load.py:188-192 / utils/helpers.py:17-23).
 
-    ``single_file=True`` reproduces the reference's ``coalesce(1)``
-    behavior for small/local outputs only."""
-    counts: dict[str, int] = {}
-    for name, t in tables.items():
-        path = f"{output_dir}/{name}_parquet"
-        writer = (t.coalesce(1) if single_file else t).write.mode("overwrite")
-        if partition_by and partition_by in t.columns:
-            writer = writer.partitionBy(partition_by)
-        writer.parquet(path)
-        counts[name] = t.sparkSession.read.parquet(path).count()
-    return counts
+    Thin wrapper over the pluggable ``Sink`` interface
+    (etl_seattle_call_data_spark/sinks.py) with the local parquet
+    implementation. ``single_file=True`` reproduces the reference's
+    ``coalesce(1)`` behavior for small/local outputs only."""
+    from etl_seattle_call_data_spark.sinks import ParquetDirSink, write_tables
+
+    return write_tables(
+        tables, ParquetDirSink(output_dir, single_file=single_file, partition_by=partition_by)
+    )
 
 
 def join_star(tables: dict[str, DataFrame]) -> DataFrame:

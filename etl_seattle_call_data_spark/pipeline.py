@@ -24,9 +24,12 @@ from etl_seattle_call_data_spark.operators.calldata import (
     require_columns,
     transform_call_data,
 )
-from etl_seattle_call_data_spark.operators.star_schema import (
-    split_star_schema,
-    write_star_schema,
+from etl_seattle_call_data_spark.operators.star_schema import split_star_schema
+from etl_seattle_call_data_spark.sinks import (
+    ParquetDirSink,
+    Sink,
+    register_star_tables,
+    write_tables,
 )
 from etl_seattle_call_data_spark.sources.csv_source import read_csv_safe
 
@@ -35,6 +38,7 @@ from etl_seattle_call_data_spark.sources.csv_source import read_csv_safe
 class BatchPipelineResult:
     row_counts: dict[str, int] = field(default_factory=dict)
     transformed: DataFrame | None = None
+    registered_tables: list[str] = field(default_factory=list)
 
 
 def run_batch_pipeline(
@@ -43,7 +47,17 @@ def run_batch_pipeline(
     output_dir: str,
     single_file: bool = False,
     dedup_dims: bool = False,
+    sink: Sink | None = None,
+    register_catalog: str | None = None,
 ) -> BatchPipelineResult:
+    """extract → transform → star-split → sink (reference main.py:6-29).
+
+    ``sink`` defaults to the local ``ParquetDirSink``; pass a ``JdbcSink``
+    (or any ``Sink``) to load a warehouse instead — the reference's
+    Snowflake stage+COPY (load.py:198-240) generalized behind one method.
+    ``register_catalog='serving'`` additionally registers the written
+    tables in the Spark catalog (``CREATE TABLE IF NOT EXISTS`` — the
+    reference's DDL bootstrap, consumer_cassandra.py:84-163)."""
     raw = read_csv_safe(spark, input_csv)
     # fail fast with a clear message instead of a deep unresolved-column
     # error (reference extract.py:136-140 defines this check but never
@@ -52,9 +66,19 @@ def run_batch_pipeline(
     transformed = transform_call_data(raw)
     # One materialization feeds all six writes (reference re-computes 6×).
     transformed = transformed.persist(StorageLevel.DISK_ONLY)
+    sink = sink if sink is not None else ParquetDirSink(output_dir, single_file=single_file)
     try:
         tables = split_star_schema(transformed, dedup_dims=dedup_dims)
-        counts = write_star_schema(tables, output_dir, single_file=single_file)
+        counts = write_tables(tables, sink)
     finally:
         transformed.unpersist()
-    return BatchPipelineResult(row_counts=counts, transformed=transformed)
+    registered: list[str] = []
+    if register_catalog:
+        if not isinstance(sink, ParquetDirSink):
+            raise ValueError("register_catalog requires a ParquetDirSink (path-backed tables)")
+        registered = register_star_tables(
+            spark, sink, table_names=list(tables), database=register_catalog
+        )
+    return BatchPipelineResult(
+        row_counts=counts, transformed=transformed, registered_tables=registered
+    )

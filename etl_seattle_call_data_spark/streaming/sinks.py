@@ -3,24 +3,43 @@ Cassandra primary-key table (last-write-wins on ``cad_event_number``,
 /root/reference/Real_Time_Streaming/consumer/consumer_cassandra.py:106-155
 and :216-222).
 
-Implementation: versioned parquet snapshots. Each ``foreachBatch`` epoch
-reads the latest snapshot, unions the new batch, keeps the newest row
-per key (window row_number over the ordering column), and writes the
-next snapshot directory — then publishes it via a one-line manifest.
-Reading never overlaps the directory being written, so the sink is safe
-against Spark's read-overwrite hazard and idempotent per epoch (epoch id
-is embedded in the snapshot name; a retried epoch overwrites itself).
+Implementation: BUCKETED versioned parquet snapshots. Keys are hashed
+into ``n_buckets`` fixed buckets; each ``foreachBatch`` epoch
 
-Scale note: a snapshot rewrite is O(store size) per epoch — fine for a
-serving table keyed by recent events; at warehouse scale swap this class
-for a Delta/Iceberg ``MERGE INTO`` sink (same interface, the jars aren't
-in this environment). The rewrite itself is fully distributed (shuffle
-on the key, no driver collect).
+1. buckets the incoming batch and finds which buckets it touches,
+2. reads ONLY those buckets' current snapshots, unions the batch,
+   keeps the newest row per key (window row_number over the ordering
+   column, epoch id as tiebreak),
+3. writes the touched buckets to a fresh epoch directory
+   (``epoch-<id>/__bucket=<b>/``), and
+4. atomically publishes a manifest mapping every bucket to the epoch
+   directory that currently holds it.
+
+Untouched buckets are never rewritten — their files are byte-identical
+across epochs and the manifest keeps pointing at the old directory. So
+per-epoch write cost is O(touched-bucket size), not O(store size): with
+hash bucketing a batch touching k keys rewrites at most min(k, n_buckets)
+buckets ≈ (k/n_buckets)·store instead of the whole store.
+
+Crash safety: writes always target a directory the current manifest does
+NOT reference (a retried epoch whose previous attempt already published
+picks an attempt-suffixed name), so Spark's lazy read of the prior
+snapshot can never overlap the directory being overwritten, and a crash
+between directory write and manifest publish leaves an orphan directory
+that the retry simply overwrites. ``vacuum()`` removes unreferenced
+epoch directories.
+
+At warehouse scale swap this class for a Delta/Iceberg ``MERGE INTO``
+sink (same interface; those jars aren't in this environment) — this
+layout is the same idea (copy-on-write data files + atomic metadata
+pointer) with a fixed bucket partitioning.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,49 +47,126 @@ from pyspark.sql.window import Window
 
 
 class KeyedUpsertSink:
-    def __init__(self, path: str, key: str, order_col: str | None = None):
+    def __init__(self, path: str, key: str, order_col: str | None = None, n_buckets: int = 16):
         self.path = path
         self.key = key
         self.order_col = order_col
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------------
 
     @property
     def _manifest(self) -> str:
         return os.path.join(self.path, "_LATEST")
 
-    def _latest_snapshot(self) -> str | None:
+    def _read_manifest(self) -> dict[str, str]:
+        """bucket id (str) → epoch dir name currently holding it."""
         if not os.path.exists(self._manifest):
-            return None
+            return {}
         with open(self._manifest) as f:
-            name = f.read().strip()
-        return os.path.join(self.path, name) if name else None
+            doc = json.load(f)
+        return doc.get("buckets", {})
+
+    def _publish_manifest(self, buckets: dict[str, str]) -> None:
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": self.n_buckets, "buckets": buckets}, f)
+        os.replace(tmp, self._manifest)  # atomic publish
+
+    # -- read ---------------------------------------------------------------
+
+    def _bucket_frames(self, spark: SparkSession, buckets: dict[str, str]) -> list[DataFrame]:
+        frames = []
+        for b, epoch_dir in buckets.items():
+            p = os.path.join(self.path, epoch_dir, f"__bucket={b}")
+            frames.append(spark.read.parquet(p))
+        return frames
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        snap = self._latest_snapshot()
-        return spark.read.parquet(snap) if snap else None
+        buckets = self._read_manifest()
+        if not buckets:
+            return None
+        frames = self._bucket_frames(spark, buckets)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    # -- write --------------------------------------------------------------
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    def _fresh_epoch_dir(self, epoch_id: int, manifest: dict[str, str]) -> str:
+        """A directory name the live manifest does not reference — the
+        retry-safety invariant: never overwrite a directory a reader of
+        the current manifest could be lazily scanning."""
+        referenced = set(manifest.values())
+        name = f"epoch-{epoch_id:012d}"
+        attempt = 0
+        while name in referenced:
+            attempt += 1
+            name = f"epoch-{epoch_id:012d}-r{attempt}"
+        return name
 
     def upsert_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        existing = self.read(spark)
+        manifest = self._read_manifest()
         order_col = self.order_col or "__epoch"
-        batch = batch_df.withColumn("__epoch", F.lit(epoch_id).cast("long"))
-        if existing is not None:
-            batch = existing.unionByName(batch, allowMissingColumns=True)
+        batch = batch_df.withColumn("__epoch", F.lit(epoch_id).cast("long")).withColumn(
+            "__bucket", self._bucket_expr()
+        )
+        # touched bucket ids: a ≤ n_buckets-row collect — driver-side
+        # metadata, not data (same footprint as a partition listing)
+        touched = sorted(r[0] for r in batch.select("__bucket").distinct().collect())
+        if not touched:
+            return
+        existing = []
+        for b in touched:
+            if str(b) in manifest:
+                p = os.path.join(self.path, manifest[str(b)], f"__bucket={b}")
+                # the partition column is encoded in the dir name; restore
+                # it so the union keeps rows addressable by bucket
+                existing.append(
+                    spark.read.parquet(p).withColumn("__bucket", F.lit(b).cast("int"))
+                )
+        merged = batch
+        for f in existing:
+            merged = merged.unionByName(f, allowMissingColumns=True)
         order = [F.desc(order_col)]
         if order_col != "__epoch":
             order.append(F.desc("__epoch"))  # epoch as tiebreak for equal order values
         w = Window.partitionBy(self.key).orderBy(*order)
         latest = (
-            batch.withColumn("__rn", F.row_number().over(w))
+            merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        snap_name = f"snapshot-{epoch_id:012d}"
-        latest.write.mode("overwrite").parquet(os.path.join(self.path, snap_name))
-        tmp = self._manifest + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(snap_name)
-        os.replace(tmp, self._manifest)  # atomic publish
+        epoch_dir = self._fresh_epoch_dir(epoch_id, manifest)
+        # one distributed job writes all touched buckets, laid out per
+        # bucket so reads and future epochs address buckets individually
+        latest.write.mode("overwrite").partitionBy("__bucket").parquet(
+            os.path.join(self.path, epoch_dir)
+        )
+        new_manifest = dict(manifest)
+        for b in touched:
+            new_manifest[str(b)] = epoch_dir
+        self._publish_manifest(new_manifest)
+
+    def vacuum(self) -> list[str]:
+        """Delete epoch directories no manifest bucket references.
+        Call when no reader holds a pre-publish manifest (e.g. between
+        streaming runs)."""
+        referenced = set(self._read_manifest().values())
+        removed = []
+        for name in os.listdir(self.path):
+            if name.startswith("epoch-") and name not in referenced:
+                shutil.rmtree(os.path.join(self.path, name))
+                removed.append(name)
+        return removed
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch``. Deliberately does NOT

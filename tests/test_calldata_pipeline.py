@@ -142,3 +142,31 @@ def test_surrogate_keys_survive_duplicate_dispatch_ids(spark):
     out = mint_surrogate_keys(df).collect()
     assert out[0].dim_cad_event_id != out[1].dim_cad_event_id
     assert out[0].dim_cad_event_id == out[2].dim_cad_event_id  # deterministic
+
+
+def test_full_pipeline_with_catalog_registration(spark, tmp_path):
+    """End-to-end run_batch_pipeline through the Sink interface, plus S12
+    catalog registration: outputs queryable by name via spark.sql."""
+    from etl_seattle_call_data_spark.pipeline import run_batch_pipeline
+
+    csv = tmp_path / "Call_Data.csv"
+    write_fixture_csv(str(csv))
+    res = run_batch_pipeline(
+        spark, str(csv), str(tmp_path / "out"), register_catalog="serving_test"
+    )
+    assert res.row_counts["fact_call"] == 7
+    assert len(res.registered_tables) == 6
+    n = spark.sql("SELECT count(*) AS n FROM serving_test.fact_call").first().n
+    assert n == 7
+    joined = spark.sql(
+        """
+        SELECT count(*) AS n
+        FROM serving_test.fact_call f
+        JOIN serving_test.dim_cad_event d ON f.dim_cad_event_id = d.dim_cad_event_id
+        """
+    ).first().n
+    assert joined == 7
+    # idempotent bootstrap: IF NOT EXISTS re-registration is a no-op
+    from etl_seattle_call_data_spark.sinks import ParquetDirSink, register_star_tables
+
+    register_star_tables(spark, ParquetDirSink(str(tmp_path / "out")), database="serving_test")

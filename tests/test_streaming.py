@@ -36,34 +36,34 @@ def _record(event: str, priority: str, response: str, processed_at: str) -> dict
 
 
 def test_upsert_last_write_wins(spark, tmp_path):
+    """End-to-end producer→stream→sink: the feeder (S7/S8 producer
+    mirror) publishes each poll as one micro-batch file; the stream
+    upserts into the keyed sink."""
+    from etl_seattle_call_data_spark.streaming.feeder import CallableSource, FileStreamFeeder
+
     src = tmp_path / "in"
-    src.mkdir()
     sink = KeyedUpsertSink(str(tmp_path / "store"), key="cad_event_number", order_col="processed_at")
 
-    # epoch 1: events A(v1), B(v1)  — written BEFORE the stream starts
-    (src / "batch1.json").write_text(
-        "\n".join(
-            json.dumps(r)
-            for r in [
-                _record("A", "1", "120 s", "2024-01-01T00:00:01"),
-                _record("B", "2", "60s", "2024-01-01T00:00:02"),
-            ]
-        )
-    )
+    polls = [
+        [  # poll 1: events A(v1), B(v1) — published BEFORE the stream starts
+            _record("A", "1", "120 s", "unstamped"),
+            _record("B", "2", "60s", "unstamped"),
+        ],
+        [  # poll 2: A updated (v2), C new — duplicate key must upsert
+            _record("A", "9", "~300~", "unstamped"),
+            _record("C", "3", "45", "unstamped"),
+        ],
+    ]
+    it = iter(polls)
+    feeder = FileStreamFeeder(str(src), CallableSource(lambda: next(it)))
+
+    assert feeder.poll_once() is not None
     stream = file_json_stream(spark, str(src), STREAM_SCHEMA)
     q = run_upsert_stream(stream, sink, str(tmp_path / "ckpt"))
     q.processAllAvailable()
 
-    # epoch 2: A updated (v2), C new — duplicate key must upsert
-    (src / "batch2.json").write_text(
-        "\n".join(
-            json.dumps(r)
-            for r in [
-                _record("A", "9", "~300~", "2024-01-01T00:10:00"),
-                _record("C", "3", "45", "2024-01-01T00:10:01"),
-            ]
-        )
-    )
+    time.sleep(1.1)  # distinct second-resolution processed_at stamps
+    assert feeder.poll_once() is not None
     q.processAllAvailable()
     q.stop()
 
@@ -165,3 +165,178 @@ def test_checkpoint_resume_skips_processed_files(spark, tmp_path):
     # and b1 was not re-processed (no duplicate-key explosion)
     assert out["A"].priority == "1"
     assert sink.read(spark).count() == 1
+
+
+def _bucket_files(store: str) -> dict[str, dict[str, tuple[int, float, int]]]:
+    """bucket id → {relpath: (size, mtime, crc-ish first bytes)} for every
+    live (manifest-referenced) bucket directory."""
+    import json as _json
+    import os
+
+    with open(os.path.join(store, "_LATEST")) as f:
+        manifest = _json.load(f)["buckets"]
+    out = {}
+    for b, epoch_dir in manifest.items():
+        d = os.path.join(store, epoch_dir, f"__bucket={b}")
+        files = {}
+        for root, _, names in os.walk(d):
+            for n in names:
+                if n.startswith("part-") or n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    st = os.stat(p)
+                    with open(p, "rb") as fh:
+                        head = fh.read(64)
+                    files[os.path.relpath(p, store)] = (st.st_size, st.st_mtime, hash(head))
+        out[b] = files
+    return out
+
+
+def test_upsert_untouched_buckets_not_rewritten(spark, tmp_path):
+    """An epoch touching one key must leave every other bucket's files
+    byte-identical (same path, same bytes) — per-epoch cost is
+    O(touched buckets), not O(store)."""
+    store = str(tmp_path / "store")
+    sink = KeyedUpsertSink(store, key="k", n_buckets=8)
+    # epoch 0: keys spread over many buckets
+    batch0 = spark.createDataFrame([(f"key{i}", i) for i in range(40)], ["k", "v"])
+    sink.upsert_batch(batch0, epoch_id=0)
+    before = _bucket_files(store)
+    assert len(before) > 1  # multiple buckets live
+    # epoch 1: touch exactly one key
+    sink.upsert_batch(spark.createDataFrame([("key0", 999)], ["k", "v"]), epoch_id=1)
+    after = _bucket_files(store)
+    import json as _json
+    import os
+
+    with open(os.path.join(store, "_LATEST")) as f:
+        manifest = _json.load(f)["buckets"]
+    touched = [b for b, d in manifest.items() if d.startswith("epoch-000000000001")]
+    assert len(touched) == 1  # one key → one bucket rewritten
+    for b in before:
+        if b not in touched:
+            assert after[b] == before[b]  # identical files: path+size+mtime+bytes
+    # and the store still reads correctly (updated value wins)
+    out = {r.k: r.v for r in sink.read(spark).collect()}
+    assert out["key0"] == 999 and len(out) == 40
+
+
+def test_upsert_retry_after_publish_uses_fresh_dir(spark, tmp_path):
+    """A retried epoch whose prior attempt already PUBLISHED must write a
+    different directory — overwriting the published one would delete data
+    Spark is lazily reading (read-overwrite hazard)."""
+    import json as _json
+    import os
+
+    store = str(tmp_path / "store")
+    sink = KeyedUpsertSink(store, key="k", n_buckets=2)
+    sink.upsert_batch(spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]), epoch_id=0)
+    with open(os.path.join(store, "_LATEST")) as f:
+        dirs0 = set(_json.load(f)["buckets"].values())
+    # crash-after-publish replay: same epoch id again
+    sink.upsert_batch(spark.createDataFrame([("a", 3), ("b", 4)], ["k", "v"]), epoch_id=0)
+    with open(os.path.join(store, "_LATEST")) as f:
+        dirs1 = set(_json.load(f)["buckets"].values())
+    assert dirs0.isdisjoint(dirs1)  # fresh attempt-suffixed dir, not an overwrite
+    out = {r.k: r.v for r in sink.read(spark).collect()}
+    assert out == {"a": 3, "b": 4}
+    # vacuum drops the superseded dirs
+    removed = sink.vacuum()
+    assert set(removed) >= dirs0
+
+
+def test_pipeline_through_sink_protocol(spark, tmp_path):
+    """S6: the batch pipeline drives any Sink; catalog registration (S12)
+    makes the outputs queryable via spark.sql."""
+    from etl_seattle_call_data_spark.sinks import ParquetDirSink, write_tables
+
+    tables = {
+        "t_one": spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"]),
+        "t_two": spark.createDataFrame([(3,)], ["id"]),
+    }
+    sink = ParquetDirSink(str(tmp_path / "wh"))
+    counts = write_tables(tables, sink)
+    assert counts == {"t_one": 2, "t_two": 1}
+    assert spark.read.parquet(sink.path_for("t_one")).count() == 2
+
+
+def test_jdbc_sink_validates_url():
+    from etl_seattle_call_data_spark.sinks import JdbcSink, Sink
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="jdbc:"):
+        JdbcSink("postgres://nope")
+    s = JdbcSink("jdbc:postgresql://host/db")
+    assert isinstance(s, Sink)  # satisfies the runtime-checkable protocol
+
+
+def test_http_json_source_pagination(tmp_path):
+    """HttpJsonSource polls a real (local) HTTP endpoint with
+    limit/offset pagination — the reference's Socrata poll shape."""
+    import http.server
+    import threading
+
+    from etl_seattle_call_data_spark.streaming.feeder import HttpJsonSource
+
+    data = [{"id": i} for i in range(5)]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            qs = parse_qs(urlparse(self.path).query)
+            limit = int(qs.get("$limit", ["100"])[0])
+            offset = int(qs.get("$offset", ["0"])[0])
+            body = json.dumps(data[offset : offset + limit]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/api"
+        src = HttpJsonSource(url, limit=2)
+        assert src.fetch() == [{"id": 0}, {"id": 1}]
+        assert src.fetch() == [{"id": 2}, {"id": 3}]
+        assert src.fetch() == [{"id": 4}]  # pagination advanced
+        assert src.fetch() == []  # drained
+    finally:
+        srv.shutdown()
+
+
+def test_kafka_feeder_sends_stamped_json():
+    from etl_seattle_call_data_spark.streaming.feeder import CallableSource, KafkaFeeder
+
+    sent = []
+    polls = iter([[{"k": "a"}, {"k": "b"}], []])
+    feeder = KafkaFeeder(
+        CallableSource(lambda: next(polls)), topic="calls", send=lambda t, v: sent.append((t, v))
+    )
+    published = feeder.run(interval_s=0, max_polls=2, sleep=lambda s: None)
+    assert published == [2]  # empty poll publishes nothing
+    assert [t for t, _ in sent] == ["calls", "calls"]
+    recs = [json.loads(v) for _, v in sent]
+    assert {r["k"] for r in recs} == {"a", "b"}
+    assert all("processed_at" in r for r in recs)  # producer stamp (S8)
+
+
+def test_file_feeder_atomic_publish_and_cadence(tmp_path):
+    from etl_seattle_call_data_spark.streaming.feeder import CallableSource, FileStreamFeeder
+
+    polls = iter([[{"x": 1}], [], [{"x": 2}]])
+    slept = []
+    feeder = FileStreamFeeder(str(tmp_path / "out"), CallableSource(lambda: next(polls)))
+    published = feeder.run(interval_s=20, max_polls=3, sleep=slept.append)
+    assert len(published) == 2  # the empty poll wrote no file
+    assert slept == [20, 20]  # poll cadence (T8)
+    import os
+
+    names = sorted(os.listdir(tmp_path / "out"))
+    assert names == [os.path.basename(p) for p in published]  # no temp litter
+    assert all(n.startswith("batch-") for n in names)
