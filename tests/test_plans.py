@@ -62,3 +62,11 @@ def test_no_row_at_a_time_python_udf(spark, name):
     assert "BatchEvalPython" not in plan
     if name != "multimodal_features":
         assert "MapInPandas" not in plan
+
+
+def test_q3_broadcasts_customer(spark):
+    """The 3-way join's small side (customer) must be an explicit
+    broadcast — consistent with the sibling star queries, not reliant on
+    AQE runtime rescue."""
+    plan = _plan(REGISTRY["q3_shipping_priority"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
