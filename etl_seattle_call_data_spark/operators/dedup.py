@@ -198,6 +198,83 @@ def minhash_lsh_pairs(
     return _jaccard_from_intersections(sh, inter, id_col, threshold)
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents in ``new_docs`` whose canonical fingerprint does NOT
+    already exist in ``corpus`` — the incremental-crawl shape: dedup a
+    new batch against an existing (much larger) reference corpus without
+    recomputing the corpus side's groups.
+
+    Plan: fingerprint both sides (narrow map) + one left-anti equi-join
+    on the fingerprint. At scale the corpus side is a pre-computed
+    fingerprint table (store it once, anti-join each new batch); the
+    anti-join shuffles only fingerprints, never document bodies."""
+    fp = F.md5(canonical_text(F.col(text_col))).alias("fingerprint")
+    new_fp = new_docs.select(F.col(id_col), fp)
+    corpus_fp = corpus.select(fp)
+    return new_fp.join(corpus_fp, "fingerprint", "left_anti").select(id_col, "fingerprint")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → duplicate
+    CLUSTERS: (doc_id, cluster_id) with cluster_id = min member id. The
+    step after pair generation in every dedup pipeline: pairs say "A≈B";
+    clusters decide which rows to keep (one representative per
+    component).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbours; converged when no
+    label changes. Rounds needed = graph diameter; near-dup components
+    are overwhelmingly small/star-shaped (they come from shared
+    buckets), so this converges in a few rounds. Each round is one
+    equi-join + one groupBy — all shuffle-on-key, nothing quadratic.
+    The driver-side loop/convergence count is control flow, not data
+    movement (the same pattern GraphX/GraphFrames uses; swap in
+    pointer-doubling if a pathological chain-shaped graph ever matters).
+
+    Only nodes appearing in ≥1 pair are returned (singletons are their
+    own trivial cluster by definition)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    edges = cache_swap("cc_edges", edges)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        labels = cache_swap("cc_labels", labels)
+        neighbour_min = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbour_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("__changed"),
+            )
+        )
+        updated = cache_swap("cc_labels_next", updated)
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def _token_hash60(c):
     """First 15 md5 hex chars as a 60-bit integer — cross-engine stable."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")

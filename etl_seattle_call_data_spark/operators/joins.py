@@ -30,6 +30,37 @@ from pyspark.sql.window import Window
 MICROS = 1_000_000
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_by: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: identical results to ``fact.join(dim, on,
+    how)`` but a hot join key's rows spread over ``n_salts`` tasks.
+
+    Standard salting rewrite: the fact side gets a deterministic salt
+    (hash of ``salt_by``, a fact-side unique-ish column — deterministic
+    where the usual ``rand()`` salt is not, so retried stages and reruns
+    produce identical partitioning), the dim side is replicated to every
+    salt value, and the join key becomes (on…, salt). Each fact row
+    still meets each matching dim row exactly once.
+
+    Use when a shuffled hash join skews on hot keys AND the dim side is
+    too big to broadcast outright (broadcast is strictly better when it
+    fits — the replication here costs n_salts× the dim shuffle volume).
+    AQE's skew-join split handles sort-merge skew adaptively; this
+    operator is the explicit/deterministic form for pipelines that need
+    plan stability."""
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_by).cast("string")), F.lit(n_salts)).cast("int")
+    )
+    d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return f.join(d, on + ["__salt"], how).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

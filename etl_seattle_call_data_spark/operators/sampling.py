@@ -1,0 +1,62 @@
+"""Deterministic sampling operators for large-scale pipelines.
+
+``df.sample()`` is seed-dependent per partitioning and not reproducible
+across engines, which makes it unusable for (a) oracle-checked tests and
+(b) production reruns that must select the same rows. These operators
+sample by a cryptographic hash of a key column instead:
+
+* reproducible across runs, engines, partitionings and cluster sizes;
+* pure narrow map (a filter on a hash expression — no shuffle, pushdown
+  of other predicates unaffected);
+* consistent: the same key always lands in the same sample, so samples
+  of two tables keyed the same way JOIN correctly (the classic
+  "sample both sides consistently" trick for debugging joins at scale).
+
+The hash is the engine-portable md5-prefix integer used across this
+repo (conv(substr(md5(x),1,15),16,10) ≡ DuckDB ('0x'||…)::BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_bucket(key_col, buckets: int = 100):
+    """Engine-portable deterministic bucket in [0, buckets)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % buckets
+
+
+def hash_sample(df: DataFrame, key_col: str, percent: int, buckets: int = 100) -> DataFrame:
+    """Keep rows whose hash bucket < ``percent`` — a deterministic
+    ``percent/buckets`` sample. One filter, no shuffle, no seed."""
+    return df.filter(hash_bucket(key_col, buckets) < percent)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fraction_denom: int = 10,
+) -> DataFrame:
+    """EXACT per-stratum sampling: ceil(n_stratum / fraction_denom) rows
+    from every stratum, chosen as the lowest hash values (deterministic,
+    engine-portable). Unlike ``sampleBy`` this guarantees each stratum's
+    sampled count exactly and never returns an empty stratum.
+
+    Cost: one shuffle on the stratum (window rank + count) — the price
+    of exactness; use ``hash_sample`` when approximate per-stratum
+    fractions are fine."""
+    h = hash_bucket(key_col, 1 << 31).alias("__h")
+    w = Window.partitionBy(stratum_col).orderBy(F.col("__h"), F.col(key_col))
+    wc = Window.partitionBy(stratum_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.expr(f"(__n + {fraction_denom - 1}) DIV {fraction_denom}"))
+        .drop("__h", "__rn", "__n")
+    )

@@ -110,6 +110,38 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document top-k terms by a tf·idf-style score, with exact
+    cross-engine arithmetic: score = (tf · N) / df as ONE double divide
+    of exactly-representable integers (the log-idf variant would hinge
+    on libm bit-compatibility). Rank ties break on the term string.
+
+    Plan shape: explode → (doc, term) counts [one shuffle] → term df
+    [second aggregation on the term key] → broadcast-join df back →
+    per-doc window top-k. The df table is vocabulary-sized (≪ corpus);
+    N comes from a broadcast scalar aggregate, not a driver action."""
+    from pyspark.sql.window import Window
+
+    from etl_seattle_call_data_spark.operators.util import spread as _spread
+
+    term_rows = _spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    score = (F.col("tf") * F.col("n")).cast("double") / F.col("df").cast("double")
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "score")
+    )
+
+
 # Rabin-Karp rolling-hash parameters: M prime-ish modulus < 2^31 keeps
 # acc·B + t < 2^31·2^20 + 2^31 < 2^52, exact in int64 on every engine.
 ROLLHASH_BASE = 1_000_003

@@ -74,8 +74,10 @@ def run_batch_pipeline(
         transformed.unpersist()
     registered: list[str] = []
     if register_catalog:
-        if not isinstance(sink, ParquetDirSink):
-            raise ValueError("register_catalog requires a ParquetDirSink (path-backed tables)")
+        from etl_seattle_call_data_spark.sinks import TableDirSink
+
+        if not isinstance(sink, TableDirSink):
+            raise ValueError("register_catalog requires a TableDirSink (path-backed tables)")
         registered = register_star_tables(
             spark, sink, table_names=list(tables), database=register_catalog
         )

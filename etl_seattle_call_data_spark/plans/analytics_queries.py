@@ -1,0 +1,253 @@
+"""Second-wave relational coverage: deep multi-join aggregation (TPC-H
+Q5 shape), time-range rolling windows, deterministic hash/stratified
+sampling, histogram binning, single-pass table profiling, sketch
+percentiles with a checkable bound, and skew-salted join parity.
+
+Every query is oracle-paired; the cross-engine arithmetic rules from
+plans/queries.py apply (decimal sums cast to double at the end, BIGINT
+casts on DuckDB integer functions, md5-prefix integers as the portable
+hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_seattle_call_data_spark.operators import joins, profile, sampling
+from etl_seattle_call_data_spark.plans.queries import register
+from etl_seattle_call_data_spark.sources.registry import load_table
+
+
+@register(
+    "q5_local_supplier_volume",
+    "TPC-H-Q5-style 6-table join: revenue by nation where the customer "
+    "and supplier share the nation, region-filtered. The dim chain "
+    "(region→nation→supplier) and customer broadcast; only "
+    "lineitem⋈orders shuffles — the canonical deep-star plan.",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rolling_revenue_30d",
+    "Time-RANGE rolling window: per customer, each order's trailing-30-day "
+    "order count and revenue (frame on epoch seconds, not row counts — "
+    "value-based frames are deterministic under ties).",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_revenue,
+           COUNT(*) OVER w AS roll_n
+    FROM (SELECT *, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_epoch FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_revenue_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_epoch", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_epoch")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("roll_revenue"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+@register(
+    "sample_hash_orders",
+    "Deterministic 10% sample of orders via the portable md5-prefix hash "
+    "— reproducible across engines/runs/partitionings (df.sample is "
+    "not), pure narrow filter, no shuffle (operators/sampling.py).",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+    """,
+)
+def q_sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return sampling.hash_sample(o, "o_orderkey", percent=10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "sample_stratified_events",
+    "EXACT stratified sample: ceil(10%) of every event_type stratum, "
+    "members chosen by lowest portable hash — per-stratum counts are "
+    "guaranteed, unlike sampleBy (operators/sampling.py).",
+    """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM (SELECT event_id, event_type,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 2147483648 AS h
+            FROM events)
+    ) WHERE rn <= (n + 9) // 10
+    """,
+)
+def q_sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sampling.stratified_sample(
+        ev, stratum_col="event_type", key_col="event_id", fraction_denom=10
+    ).select("event_id", "event_type")
+
+
+@register(
+    "histogram_order_totals",
+    "Numeric histogram: fixed-width (50k) binning of order totals with "
+    "per-bin count and bounds — one groupBy on the computed bin, "
+    "map-side partial aggregation.",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS bin_min,
+           MAX(o_totalprice) AS bin_max
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bin", F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("bin_min"),
+            F.max("o_totalprice").alias("bin_max"),
+        )
+    )
+
+
+@register(
+    "profile_orders",
+    "Single-pass table profile (null counts / exact distincts / min-max) "
+    "— the data-quality gate as one aggregation over one scan "
+    "(operators/profile.py).",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_orderpriority_nulls,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_orderdate_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS o_custkey_distinct,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS o_orderstatus_distinct,
+           MIN(o_totalprice) AS o_totalprice_min,
+           MAX(o_totalprice) AS o_totalprice_max,
+           MIN(o_orderdate) AS o_orderdate_min,
+           MAX(o_orderdate) AS o_orderdate_max
+    FROM orders
+    """,
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return profile.profile_table(
+        o,
+        null_cols=["o_orderpriority", "o_orderdate"],
+        distinct_cols=["o_custkey", "o_orderstatus"],
+        minmax_cols=["o_totalprice", "o_orderdate"],
+    )
+
+
+@register(
+    "approx_percentile_rank_bounds",
+    "Sketch median (percentile_approx, accuracy 1000) per event type, "
+    "validated by its rank guarantee: the count of values ≤ the sketch "
+    "median must sit within n/100 of n/2. Exact columns + the derived "
+    "bound flag make the sketch oracle-checkable (same device as "
+    "approx_distinct_users).",
+    """
+    SELECT event_type, COUNT(*) AS n, TRUE AS rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_approx_percentile_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketch = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("ap50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = (
+        ev.join(F.broadcast(sketch), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when(F.col("value") <= F.col("ap50"), 1).otherwise(0)).alias("cnt_le"),
+        )
+    )
+    rank_ok = (
+        F.abs(F.col("cnt_le").cast("double") - F.col("n").cast("double") / 2)
+        <= F.col("n").cast("double") / 100 + 1
+    )
+    return ranked.select("event_type", "n", rank_ok.alias("rank_ok"))
+
+
+@register(
+    "salted_join_parity",
+    "Skew-salted equi-join (deterministic fact-side salt, dim replicated "
+    "n_salts ways) — result-identical to the plain join, hot keys spread "
+    "over n_salts tasks (operators/joins.py::salted_join).",
+    """
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return joins.salted_join(o, c, on=["o_custkey"], salt_by="o_orderkey", n_salts=8).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )

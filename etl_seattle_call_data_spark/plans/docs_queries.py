@@ -425,6 +425,88 @@ def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental",
+    "Incremental-crawl dedup: new documents (odd ids) whose canonical "
+    "fingerprint is absent from the reference corpus (even ids) — "
+    "fingerprint + one left-anti join; the corpus side ships only "
+    "fingerprints, never bodies (operators/dedup.py).",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    )
+    SELECT n.doc_id, n.fingerprint
+    FROM fp n
+    WHERE n.doc_id % 2 = 1
+      AND NOT EXISTS (
+        SELECT 1 FROM fp c WHERE c.doc_id % 2 = 0 AND c.fingerprint = n.fingerprint
+      )
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_dedup(new_docs, corpus)
+
+
+@register(
+    "dedup_clusters",
+    "Duplicate clusters: connected components over the capped-Jaccard "
+    "near-dup pair graph via iterative min-label propagation (rounds = "
+    "component diameter; each round one equi-join + one groupBy). The "
+    "oracle computes the same components with a recursive transitive "
+    "closure — feasible only at test scale, which is exactly why the "
+    "Spark side iterates instead (operators/dedup.py).",
+    f"""
+    WITH RECURSIVE {_duck_jaccard(max_df=_JACCARD_MAX_DF)},
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, max_df=_JACCARD_MAX_DF)
+    return dedup.connected_components(pairs)
+
+
+@register(
+    "doc_tfidf_top_terms",
+    "Per-document top-3 terms by tf·(N/df) — tf-idf with exact integer/"
+    "single-divide arithmetic (log-idf would hinge on libm bit parity). "
+    "Vocabulary-sized df table broadcast back; per-doc window top-k "
+    "(operators/text.py).",
+    f"""
+    WITH tr AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tr GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, term, CAST(rank AS INTEGER) AS rank, score FROM (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * n.n AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n AS DOUBLE) / CAST(dfq.df AS DOUBLE) DESC, tf.term
+             ) AS rank
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3)
+
+
+@register(
     "multimodal_features",
     "Multimodal plumbing: binary payload + typed metadata columns through "
     "an Arrow-batched mapInPandas feature extractor (decode step stubbed "

@@ -544,5 +544,6 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Register the training-data extension queries (documents/embeddings) and
 # the extended operator surface (multi-dim aggs, window suite, temporal
 # joins). Imports at the bottom: both import `register` from this module.
+from etl_seattle_call_data_spark.plans import analytics_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import docs_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import extended_queries  # noqa: E402,F401

@@ -38,8 +38,9 @@ class Sink(Protocol):
     def write(self, name: str, df: DataFrame) -> int: ...
 
 
-class ParquetDirSink:
-    """Local warehouse: ``<output_dir>/<name>_parquet`` per table.
+class TableDirSink:
+    """Local warehouse: ``<output_dir>/<name>_<format>`` per table, in
+    any Spark-native columnar/row format (parquet, orc, json, csv).
 
     * no ``coalesce(1)`` by default — single-file output funnels the
       table through one task (the reference's first 100 TB failure mode);
@@ -51,23 +52,39 @@ class ParquetDirSink:
     def __init__(
         self,
         output_dir: str,
+        format: str = "parquet",
         single_file: bool = False,
         partition_by: str | None = None,
     ):
         self.output_dir = output_dir
+        self.format = format
         self.single_file = single_file
         self.partition_by = partition_by
 
     def path_for(self, name: str) -> str:
-        return f"{self.output_dir}/{name}_parquet"
+        return f"{self.output_dir}/{name}_{self.format}"
 
     def write(self, name: str, df: DataFrame) -> int:
         path = self.path_for(name)
-        writer = (df.coalesce(1) if self.single_file else df).write.mode("overwrite")
+        writer = (
+            (df.coalesce(1) if self.single_file else df).write.mode("overwrite").format(self.format)
+        )
         if self.partition_by and self.partition_by in df.columns:
             writer = writer.partitionBy(self.partition_by)
-        writer.parquet(path)
-        return df.sparkSession.read.parquet(path).count()
+        writer.save(path)
+        return df.sparkSession.read.format(self.format).load(path).count()
+
+
+class ParquetDirSink(TableDirSink):
+    """The default local sink (parquet layout) — see ``TableDirSink``."""
+
+    def __init__(
+        self,
+        output_dir: str,
+        single_file: bool = False,
+        partition_by: str | None = None,
+    ):
+        super().__init__(output_dir, "parquet", single_file, partition_by)
 
 
 class JdbcSink:
@@ -108,7 +125,7 @@ def write_tables(tables: dict[str, DataFrame], sink: Sink) -> dict[str, int]:
 
 def register_star_tables(
     spark: SparkSession,
-    sink: ParquetDirSink,
+    sink: TableDirSink,
     table_names: list[str] | None = None,
     database: str = "serving",
 ) -> list[str]:
@@ -125,7 +142,7 @@ def register_star_tables(
     for name in names:
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {database}.{name} "
-            f"USING PARQUET LOCATION '{sink.path_for(name)}'"
+            f"USING {sink.format.upper()} LOCATION '{sink.path_for(name)}'"
         )
         registered.append(f"{database}.{name}")
     return registered

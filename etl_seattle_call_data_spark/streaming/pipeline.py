@@ -119,6 +119,39 @@ def run_windowed_stream(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded to ``left_ts + lower_s <=
+    right_ts <= left_ts + upper_s`` (T6 extension — the reference joins
+    nothing stream-side). Both sides are watermarked and the interval
+    condition bounds the join state Spark must buffer: a right row can
+    be evicted once the watermark passes ``right_ts + |lower_s|``, so
+    state is O(rows per horizon) per key, not O(stream). Without the
+    interval bound Spark would (correctly) refuse an inner stream-stream
+    join as unbounded-state.
+
+    Columns must be disjoint apart from ``on``; ``left_ts``/``right_ts``
+    must be distinct names (the output keeps both)."""
+    l_wm = left.alias("l").withWatermark(left_ts, watermark)
+    r_wm = right.alias("r").withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    joined = l_wm.join(r_wm, cond, how)
+    return joined.drop(F.col(f"r.{on}"))
+
+
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
     """Stream-static enrichment join: each micro-batch equi-joins the
     (unbounded) stream side against a static dimension snapshot. Spark

@@ -1,0 +1,131 @@
+"""Semantic unit tests for the second-wave operators: deterministic
+sampling, salted join parity, table profiling, incremental dedup,
+connected components, tf-idf, multi-format sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_seattle_call_data_spark.operators import dedup, joins, profile, sampling, text
+
+
+def test_hash_sample_deterministic_across_partitionings(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in sampling.hash_sample(df, "k", percent=10).collect()}
+    s2 = {r.k for r in sampling.hash_sample(df.repartition(13), "k", percent=10).collect()}
+    assert s1 == s2  # partitioning-independent (df.sample is not)
+    assert 100 < len(s1) < 320  # ~10% of 2000, hash-binomial spread
+
+
+def test_hash_sample_consistent_across_tables(spark):
+    # the same key always samples in: a sampled fact joins a sampled dim
+    a = spark.range(0, 500).withColumnRenamed("id", "k")
+    b = spark.range(0, 500).withColumnRenamed("id", "k").withColumn("v", F.col("k") * 2)
+    ka = {r.k for r in sampling.hash_sample(a, "k", percent=20).collect()}
+    kb = {r.k for r in sampling.hash_sample(b, "k", percent=20).collect()}
+    assert ka == kb
+
+
+def test_stratified_sample_exact_counts(spark):
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["k", "stratum"])
+    out = sampling.stratified_sample(df, "stratum", "k", fraction_denom=10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r.k)
+    assert len(by["big"]) == 10  # exactly ceil(100/10)
+    assert len(by["small"]) == 1  # ceil(3/10) = 1 — never an empty stratum
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)] + [(100, 99)], ["row_id", "k"]
+    )  # key 99 has no dim match
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "name"])
+    plain_inner = {(r.row_id, r.name) for r in fact.join(dim, "k").collect()}
+    salted_inner = {
+        (r.row_id, r.name)
+        for r in joins.salted_join(fact, dim, ["k"], salt_by="row_id", n_salts=4).collect()
+    }
+    assert salted_inner == plain_inner
+    plain_left = {(r.row_id, r.name) for r in fact.join(dim, "k", "left").collect()}
+    salted_left = {
+        (r.row_id, r.name)
+        for r in joins.salted_join(
+            fact, dim, ["k"], salt_by="row_id", n_salts=4, how="left"
+        ).collect()
+    }
+    assert salted_left == plain_left  # unmatched fact row kept with null
+
+
+def test_profile_table_exact_and_approx(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, None, 3.0), (4, "b", None)],
+        ["id", "grp", "val"],
+    )
+    row = profile.profile_table(
+        df, null_cols=["grp", "val"], distinct_cols=["grp"], minmax_cols=["val"]
+    ).first()
+    assert row.n_rows == 4 and row.grp_nulls == 1 and row.val_nulls == 1
+    assert row.grp_distinct == 2  # count_distinct ignores nulls
+    assert row.val_min == 1.0 and row.val_max == 3.0
+    approx = profile.profile_table(
+        df, null_cols=[], distinct_cols=["grp"], minmax_cols=[], approx=True
+    ).first()
+    assert approx.grp_distinct == 2  # HLL exact at tiny cardinality
+
+
+def test_incremental_dedup(spark):
+    corpus = spark.createDataFrame(
+        [(0, "known doc one"), (2, "known doc two")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "KNOWN   doc one"),  # canonical dup of corpus doc 0 → dropped
+            (3, "a genuinely new doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.incremental_dedup(new, corpus).collect()
+    assert [r.doc_id for r in out] == [3]
+
+
+def test_connected_components_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    # chain 1-2-3-4 (diameter 3), pair, triangle — all labeled by min member
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_tfidf_top_terms_ranking(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana cherry shared"),
+            (3, "cherry cherry shared shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = text.tfidf_top_terms(docs, k=2).collect()
+    top = {}
+    for r in rows:
+        top.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    # doc 1: apple tf=2 df=1 → score 2*3/1=6 beats banana (1*3/2=1.5)
+    assert sorted(top[1])[0][1] == "apple" and sorted(top[1])[0][2] == 6.0
+    # doc 3: cherry tf=2 df=2 → 3.0; shared tf=2 df=3 → 2.0
+    assert [t[1] for t in sorted(top[3])] == ["cherry", "shared"]
+
+
+def test_table_dir_sink_formats(spark, tmp_path):
+    from etl_seattle_call_data_spark.sinks import TableDirSink
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"])
+    for fmt in ("parquet", "orc", "json"):
+        sink = TableDirSink(str(tmp_path / fmt), format=fmt)
+        assert sink.write("t", df) == 2
+        back = spark.read.format(fmt).load(sink.path_for("t"))
+        assert {(int(r.id), r.s) for r in back.collect()} == {(1, "x"), (2, "y")}

@@ -340,3 +340,56 @@ def test_file_feeder_atomic_publish_and_cadence(tmp_path):
     names = sorted(os.listdir(tmp_path / "out"))
     assert names == [os.path.basename(p) for p in published]  # no temp litter
     assert all(n.startswith("batch-") for n in names)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks within 10 minutes before a
+    purchase, matched across two live streams (state bounded by the
+    interval condition + watermark)."""
+    from pyspark.sql import types as T
+
+    from etl_seattle_call_data_spark.streaming.pipeline import stream_stream_interval_join
+
+    p_dir, c_dir = tmp_path / "purchases", tmp_path / "clicks"
+    p_dir.mkdir(), c_dir.mkdir()
+    p_schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("p_ts", T.TimestampType())]
+    )
+    c_schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("c_ts", T.TimestampType())]
+    )
+    (p_dir / "p1.json").write_text(
+        json.dumps({"user_id": 7, "p_ts": "2024-01-01T12:10:00"})
+        + "\n"
+        + json.dumps({"user_id": 8, "p_ts": "2024-01-01T12:10:00"})
+    )
+    (c_dir / "c1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 7, "c_ts": "2024-01-01T12:05:00"},  # in window
+                {"user_id": 7, "c_ts": "2024-01-01T11:00:00"},  # too early
+                {"user_id": 8, "c_ts": "2024-01-01T12:30:00"},  # after purchase
+            ]
+        )
+    )
+    purchases = spark.readStream.schema(p_schema).json(str(p_dir))
+    clicks = spark.readStream.schema(c_schema).json(str(c_dir))
+    joined = stream_stream_interval_join(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        lower_s=-600, upper_s=0,
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT user_id, c_ts FROM ssj_test").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0].user_id == 7 and rows[0].c_ts.minute == 5
