@@ -110,6 +110,32 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically — no backrefs, no lookaround, no \b.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PATTERN = "\\+?[0-9][0-9() -]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Scrub emails/phone-shaped strings from document text — the
+    compliance pass every training-data pipeline runs before anything
+    else sees the corpus. Pure per-row regexp map (two regexp_replace +
+    two regexp_count), no shuffle, whole-stage codegen.
+
+    Output: (id, n_emails, n_phones, redacted) with occurrences replaced
+    by [EMAIL]/[PHONE] placeholders."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "[EMAIL]"), PHONE_PATTERN, "[PHONE]"
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document top-k terms by a tf·idf-style score, with exact
     cross-engine arithmetic: score = (tf · N) / df as ONE double divide

@@ -234,6 +234,46 @@ def q_approx_percentile_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "window_value_suite",
+    "Value-navigation window suite per customer order history: "
+    "first/last/nth value over a running frame plus a 3-row moving "
+    "average (decimal-summed, one divide — cross-engine exact).",
+    """
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w_run AS first_price,
+           LAST_VALUE(o_totalprice) OVER w_run AS latest_price,
+           COALESCE(NTH_VALUE(o_totalprice, 2) OVER w_run, -1.0) AS second_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_mov AS DOUBLE)
+             / (COUNT(*) OVER w_mov) AS moving_avg_3,
+           MAX(o_totalprice) OVER w_mov AS moving_max_3
+    FROM orders
+    WINDOW
+      w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = base.rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w_run).alias("first_price"),
+        F.last("o_totalprice").over(w_run).alias("latest_price"),
+        F.coalesce(F.nth_value("o_totalprice", 2).over(w_run), F.lit(-1.0)).alias("second_price"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w_mov).cast("double")
+            / F.count(F.lit(1)).over(w_mov)
+        ).alias("moving_avg_3"),
+        F.max("o_totalprice").over(w_mov).alias("moving_max_3"),
+    )
+
+
+@register(
     "salted_join_parity",
     "Skew-salted equi-join (deterministic fact-side salt, dim replicated "
     "n_salts ways) — result-identical to the plain join, hot keys spread "

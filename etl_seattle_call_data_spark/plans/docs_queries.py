@@ -425,6 +425,28 @@ def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pii_redaction",
+    "PII scrub: email/phone redaction counts + redacted-text digest — "
+    "the compliance pass before a corpus feeds training; pure per-row "
+    "regexp map, patterns restricted to the Java∩RE2 regex subset so "
+    "both engines agree (operators/text.py::redact_pii).",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{text.EMAIL_PATTERN}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{text.PHONE_PATTERN}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{text.EMAIL_PATTERN}', '[EMAIL]', 'g'),
+                              '{text.PHONE_PATTERN}', '[PHONE]', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.redact_pii(docs).select(
+        "doc_id", "n_emails", "n_phones", F.md5(F.col("redacted")).alias("redacted_md5")
+    )
+
+
+@register(
     "dedup_incremental",
     "Incremental-crawl dedup: new documents (odd ids) whose canonical "
     "fingerprint is absent from the reference corpus (even ids) — "

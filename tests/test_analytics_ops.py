@@ -129,3 +129,18 @@ def test_table_dir_sink_formats(spark, tmp_path):
         assert sink.write("t", df) == 2
         back = spark.read.format(fmt).load(sink.path_for("t"))
         assert {(int(r.id), r.s) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact john.doe+spam@example.co.uk or call +1 (206) 555-0137 now"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.redact_pii(docs).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "[EMAIL]" in out[1].redacted and "[PHONE]" in out[1].redacted
+    assert "example" not in out[1].redacted and "555" not in out[1].redacted
+    assert out[2].redacted == "no pii here at all"

@@ -70,3 +70,49 @@ def test_q3_broadcasts_customer(spark):
     AQE runtime rescue."""
     plan = _plan(REGISTRY["q3_shipping_priority"].spark(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed by the join key into the same bucket count
+    must join with NO exchange on either side — the pre-paid-shuffle
+    layout for fact⋈fact joins at scale (operators/bucketing.py)."""
+    from etl_seattle_call_data_spark.operators import bucketing
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    bucketing.write_bucketed(o, "bkt_orders", "o_custkey", 4, sort_col="o_custkey")
+    bucketing.write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "bkt_customer", "o_custkey", 4,
+        sort_col="o_custkey",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        j = bucketing.read_bucketed(spark, "bkt_orders").join(
+            bucketing.read_bucketed(spark, "bkt_customer"), "o_custkey"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout satisfied the distribution
+        assert j.count() == load_table(spark, SF, "orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """A scan over a partitionBy(event_date) layout with an event_date
+    filter must prune at the file-listing level (PartitionFilters), not
+    scan-and-discard."""
+    out = str(tmp_path_factory.mktemp("pruned") / "events_by_date")
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    dates = sorted(r.event_date for r in spark.read.parquet(out).select("event_date").distinct().collect())
+    q = spark.read.parquet(out).filter(F.col("event_date") == dates[0])
+    plan = _plan(q)
+    pf_line = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "event_date" in pf_line  # pruning pushed to the partition index
+    assert q.count() > 0
