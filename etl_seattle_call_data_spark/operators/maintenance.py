@@ -1,0 +1,44 @@
+"""Table maintenance: small-file compaction.
+
+Streaming sinks and fine-grained partitioned writes accumulate many
+small files; at scale the file-listing and per-file open costs dominate
+scans long before data volume does (the classic "millions of 1 MB
+files" failure). Compaction rewrites a parquet directory into files of
+roughly ``target_file_bytes`` each.
+
+The rewrite is a read → repartition(n) → write of the same data — fully
+distributed, no driver data movement; only file SIZES are consulted
+driver-side (metadata, same class as a partition listing). Publication
+is write-new-then-swap: readers mid-scan of the old directory are the
+caller's concern (run in a maintenance window, or point readers through
+a manifest like streaming/sinks.py does).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Compact the parquet directory at ``path`` to ceil(total_bytes /
+    target_file_bytes) files. Returns the new file count."""
+    df = spark.read.parquet(path)
+    files = [f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    n = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet") or f.startswith("part-")]
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_seattle_call_data_spark.operators import joins, profile, sampling
+from etl_seattle_call_data_spark.operators import cdc, joins, profile, sampling
 from etl_seattle_call_data_spark.plans.queries import register
 from etl_seattle_call_data_spark.sources.registry import load_table
 
@@ -231,6 +231,43 @@ def q_approx_percentile_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFra
         <= F.col("n").cast("double") / 100 + 1
     )
     return ranked.select("event_type", "n", rank_ok.alias("rank_ok"))
+
+
+@register(
+    "snapshot_diff_orders",
+    "CDC snapshot diff: added/removed/changed keys between two extracts "
+    "of the orders table (synthesized as modular slices with a price bump "
+    "on a sub-slice) — one full-outer key join, unchanged rows dropped "
+    "(operators/cdc.py).",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey", "o_totalprice")
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return cdc.snapshot_diff(old, new, key_cols=["o_orderkey"])
 
 
 @register(

@@ -144,3 +144,49 @@ def test_redact_pii(spark):
     assert "[EMAIL]" in out[1].redacted and "[PHONE]" in out[1].redacted
     assert "example" not in out[1].redacted and "555" not in out[1].redacted
     assert out[2].redacted == "no pii here at all"
+
+
+def test_snapshot_diff_semantics(spark):
+    from etl_seattle_call_data_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)], ["k", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)], ["k", "s", "v"]
+    )
+    out = {r.k: r.change_type for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
+    # 1 removed, 2 changed, 3 unchanged (null-safe compare!), 4 added
+    assert out == {1: "removed", 2: "changed", 4: "added"}
+
+
+def test_upsert_snapshot_batch_merge(spark):
+    from etl_seattle_call_data_spark.operators import cdc
+
+    current = spark.createDataFrame(
+        [("a", 1, 100), ("b", 1, 100)], ["k", "ver", "v"]
+    )
+    batch = spark.createDataFrame(
+        [("a", 2, 200), ("b", 1, 999), ("c", 1, 300)], ["k", "ver", "v"]
+    )
+    out = {r.k: (r.ver, r.v) for r in cdc.upsert_snapshot(current, batch, "k", "ver").collect()}
+    assert out["a"] == (2, 200)  # newer version wins
+    assert out["b"] == (1, 999)  # tie -> batch row wins
+    assert out["c"] == (1, 300)  # insert
+    # bootstrap: no current snapshot
+    boot = cdc.upsert_snapshot(None, batch, "k", "ver")
+    assert boot.count() == 3
+
+
+def test_compact_parquet(spark, tmp_path):
+    from etl_seattle_call_data_spark.operators import maintenance
+
+    path = str(tmp_path / "many_files")
+    spark.range(0, 10000).repartition(40).write.parquet(path)
+    import os
+
+    before = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert before == 40
+    after = maintenance.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert after == 1  # tiny table -> one file
+    assert spark.read.parquet(path).count() == 10000

@@ -393,3 +393,16 @@ def test_stream_stream_interval_join(spark, tmp_path):
         q.stop()
     assert len(rows) == 1
     assert rows[0].user_id == 7 and rows[0].c_ts.minute == 5
+
+
+def test_upsert_schema_evolution_across_epochs(spark, tmp_path):
+    """A later epoch may add columns; earlier buckets must still read
+    (unionByName allowMissingColumns) with nulls for the new column."""
+    sink = KeyedUpsertSink(str(tmp_path / "store"), key="k", n_buckets=4)
+    sink.upsert_batch(spark.createDataFrame([("a", 1)], ["k", "v"]), epoch_id=0)
+    sink.upsert_batch(
+        spark.createDataFrame([("b", 2, "extra")], ["k", "v", "note"]), epoch_id=1
+    )
+    out = {r.k: r for r in sink.read(spark).collect()}
+    assert out["b"].note == "extra"
+    assert out["a"].note is None  # old bucket widened with null
