@@ -234,6 +234,45 @@ def q_approx_percentile_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "q18_large_volume_orders",
+    "TPC-H-Q18-style: orders whose total line quantity exceeds a "
+    "threshold (aggregate-driven HAVING filter), semi-joined back and "
+    "re-aggregated with the customer name — the agg→filter→semi-join "
+    "shape where the qualifying-key set, not the fact, drives the join.",
+    """
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__q"))
+        .filter(F.col("__q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(qualifying, F.col("o_orderkey") == qualifying.l_orderkey, "left_semi")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+    )
+
+
+@register(
     "snapshot_diff_orders",
     "CDC snapshot diff: added/removed/changed keys between two extracts "
     "of the orders table (synthesized as modular slices with a price bump "
