@@ -425,6 +425,79 @@ def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dim_stats",
+    "Per-dimension corpus statistics over the embedding column via "
+    "posexplode — the feature-distribution profile (drift detection, "
+    "normalization constants). Quantized integer sums keep the mean "
+    "numerator exact; min/max are order-free.",
+    f"""
+    SELECT dim,
+           COUNT(*) AS n,
+           MIN(v) AS v_min,
+           MAX(v) AS v_max,
+           CAST(SUM(CAST(round(v * 1000) AS BIGINT)) AS BIGINT) AS qsum
+    FROM (
+      SELECT i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+    )
+    GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("dim", "v_raw")).select(
+        "dim", F.col("v_raw").cast("double").alias("v")
+    )
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+        F.sum(F.round(F.col("v") * 1000).cast("bigint")).cast("bigint").alias("qsum"),
+    )
+
+
+_FEATURE_HASH_BUCKETS = 8
+
+
+@register(
+    "doc_feature_hash",
+    "Hashing-trick vectorizer: per-document token counts folded into 8 "
+    "hash buckets (portable md5 bucket), emitted as fixed columns — the "
+    "fixed-width featurization that needs no vocabulary pass.",
+    f"""
+    SELECT doc_id,
+           {", ".join(
+               "CAST(SUM(CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 8 = " + str(b) +
+               " THEN 1 ELSE 0 END) AS BIGINT) AS fb" + str(b)
+               for b in range(8)
+           )}
+    FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_seattle_call_data_spark.operators.text import tokens
+    from etl_seattle_call_data_spark.operators.util import spread as _spread
+
+    tok = _spread(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+            % _FEATURE_HASH_BUCKETS
+        ).alias("bucket"),
+    )
+    return tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).cast("bigint").alias(f"fb{b}")
+            for b in range(_FEATURE_HASH_BUCKETS)
+        ]
+    )
+
+
+@register(
     "doc_pii_redaction",
     "PII scrub: email/phone redaction counts + redacted-text digest — "
     "the compliance pass before a corpus feeds training; pure per-row "

@@ -406,3 +406,53 @@ def test_upsert_schema_evolution_across_epochs(spark, tmp_path):
     out = {r.k: r for r in sink.read(spark).collect()}
     assert out["b"].note == "extra"
     assert out["a"].note is None  # old bucket widened with null
+
+
+def test_windowed_counts_into_upsert_sink(spark, tmp_path):
+    """Serving pattern: watermarked windowed aggregation in update mode,
+    upserted by window key — late-arriving data re-updates its window row
+    instead of appending a duplicate (the reference's Cassandra
+    primary-key overwrite, done with window keys)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    sink = KeyedUpsertSink(str(tmp_path / "store"), key="wkey", n_buckets=4)
+
+    def write_batch(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    write_batch("b1.json", [
+        {"ts": "2024-01-01T00:01:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T00:02:00", "event_type": "click", "value": 2.0},
+    ])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    agg = windowed_counts(stream, watermark="1 hour").withColumn(
+        "wkey", F.concat_ws("|", F.col("window_start").cast("string"), "event_type")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.wkey: r.n for r in sink.read(spark).collect()}
+        # same window, one more event → the row must be REPLACED, not duplicated
+        write_batch("b2.json", [
+            {"ts": "2024-01-01T00:03:00", "event_type": "click", "value": 3.0},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = sink.read(spark).collect()
+    assert len(out) == len(first) == 1
+    assert out[0].n == 3 and out[0].total_value == 6.0
