@@ -190,3 +190,25 @@ def test_compact_parquet(spark, tmp_path):
     after = maintenance.compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert after == 1  # tiny table -> one file
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_read_jsonl_safe_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl_seattle_call_data_spark.sources.json_source import read_jsonl_safe
+
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": broken json here\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    good, bad = read_jsonl_safe(spark, str(p), schema)
+    assert {r.id for r in good.collect()} == {1, 2}
+    bad_lines = [r.raw for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert "not json" in bad_lines[0] or "not json" in bad_lines[1]

@@ -116,3 +116,17 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     pf_line = next(line for line in plan.splitlines() if "PartitionFilters" in line)
     assert "event_date" in pf_line  # pruning pushed to the partition index
     assert q.count() > 0
+
+
+def test_hash_sample_is_pure_narrow_filter(spark):
+    """The deterministic sample must plan as scan+filter — zero
+    exchanges; sampling must never shuffle."""
+    plan = _plan(REGISTRY["sample_hash_orders"].spark(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_q5_dim_chain_all_broadcast(spark):
+    """Every join in the 6-table Q5 shape must be a broadcast hash join
+    (region/nation/supplier/customer are all dims) — no sort-merge."""
+    plan = _plan(REGISTRY["q5_local_supplier_volume"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -456,3 +456,29 @@ def test_windowed_counts_into_upsert_sink(spark, tmp_path):
     out = sink.read(spark).collect()
     assert len(out) == len(first) == 1
     assert out[0].n == 3 and out[0].total_value == 6.0
+
+
+def test_progress_collector_listener(spark, tmp_path):
+    """Metrics come from the listener (free), not per-epoch count()."""
+    from etl_seattle_call_data_spark.streaming.metrics import ProgressCollector
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.json").write_text(json.dumps(_record("A", "1", "10", "2024-01-01T00:00:00")))
+    collector = ProgressCollector.attach(spark)
+    try:
+        sink = KeyedUpsertSink(str(tmp_path / "store"), key="cad_event_number")
+        stream = file_json_stream(spark, str(src), STREAM_SCHEMA)
+        q = run_upsert_stream(stream, sink, str(tmp_path / "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(10)
+        deadline = time.time() + 10  # listener events are async
+        while time.time() < deadline and not any(
+            p.num_input_rows >= 1 for p in collector.progress
+        ):
+            time.sleep(0.2)
+        assert any(p.num_input_rows >= 1 for p in collector.progress)
+        assert all(p.batch_id >= 0 for p in collector.progress)
+    finally:
+        collector.detach(spark)
