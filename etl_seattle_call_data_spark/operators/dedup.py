@@ -89,11 +89,14 @@ def jaccard_pairs(
     join fan-out — see ``cap_document_frequency``."""
     # persist the exploded shingle set: it feeds the pair join twice and
     # the size aggregation — without it Catalyst re-tokenizes the corpus
-    # once per branch (observed: 8 parquet scans in the un-persisted plan)
-    sh = shingle_sets(df, id_col, text_col, n)
+    # once per branch (observed: 8 parquet scans in the un-persisted plan).
+    # The UNCAPPED set is cached under the key the MinHash pipeline also
+    # uses ("doc_shingles"): on the same corpus the two operators share
+    # one tokenize+explode+distinct via cache_swap's sameSemantics reuse,
+    # and the cap is a cheap derivation on top of the shared cache.
+    sh = cache_swap("doc_shingles", shingle_sets(df, id_col, text_col, n))
     if max_df is not None:
-        sh = cap_document_frequency(sh, max_df, id_col)
-    sh = cache_swap("jaccard_shingles", sh)
+        sh = cache_swap("jaccard_shingles", cap_document_frequency(sh, max_df, id_col))
     inter = _shared_shingle_pairs(sh, id_col)
     return _jaccard_from_intersections(sh, inter, id_col, threshold)
 
@@ -163,7 +166,8 @@ def minhash_lsh_pairs(
     num_bands = num_hashes // rows_per_band
     # one persisted shingle set feeds signatures, candidate verification,
     # and set sizes — the whole LSH pipeline tokenizes the corpus ONCE
-    sh = cache_swap("minhash_shingles", shingle_sets(df, id_col, text_col, n))
+    # (key shared with jaccard_pairs: same corpus → same cache)
+    sh = cache_swap("doc_shingles", shingle_sets(df, id_col, text_col, n))
     sig = _minhash_from_shingles(sh, num_hashes, id_col)
     bands = F.array(
         *[

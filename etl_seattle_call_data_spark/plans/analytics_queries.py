@@ -234,6 +234,49 @@ def q_approx_percentile_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "q14_promo_revenue_share",
+    "TPC-H-Q14-style conditional-aggregate ratio: promo part types' share "
+    "of one month's revenue — part broadcast against the date-pruned "
+    "lineitem scan, decimal-exact numerator/denominator, one divide.",
+    """
+    SELECT CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             * 100.0 AS DOUBLE) AS promo_pct,
+           COUNT(*) AS n_items
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def q_q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(rev).cast("double") * F.lit(100.0))
+            .cast("double")
+            .alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "q18_large_volume_orders",
     "TPC-H-Q18-style: orders whose total line quantity exceeds a "
     "threshold (aggregate-driven HAVING filter), semi-joined back and "

@@ -57,17 +57,25 @@ def run_upsert_stream(
     sink: KeyedUpsertSink,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Stream → duration cleaning → ingest stamp → keyed upsert sink
     (the reference's foreach_batch_function pipeline, T2/T5, with
-    checkpointing)."""
+    checkpointing).
+
+    ``available_now=True`` runs in backfill mode (Trigger.AvailableNow):
+    process everything currently available as rate-limited micro-batches
+    with normal checkpointing, then terminate — the catch-up/backfill
+    face of the same pipeline (a restart without it resumes tailing)."""
     cleaned = with_ingest_timestamp(clean_duration_fields(source))
     writer = (
         cleaned.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(sink.foreach_batch())
     )
-    if trigger_seconds:
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
 

@@ -482,3 +482,20 @@ def test_progress_collector_listener(spark, tmp_path):
         assert all(p.batch_id >= 0 for p in collector.progress)
     finally:
         collector.detach(spark)
+
+
+def test_available_now_backfill_terminates(spark, tmp_path):
+    """Trigger.AvailableNow: drain everything present (respecting
+    maxFilesPerTrigger batching + checkpoints), then stop on its own —
+    the backfill/catch-up mode."""
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        (src / f"b{i}.json").write_text(
+            json.dumps(_record(f"E{i}", "1", "10", f"2024-01-01T00:0{i}:00"))
+        )
+    sink = KeyedUpsertSink(str(tmp_path / "store"), key="cad_event_number")
+    stream = file_json_stream(spark, str(src), STREAM_SCHEMA)
+    q = run_upsert_stream(stream, sink, str(tmp_path / "ckpt"), available_now=True)
+    assert q.awaitTermination(120)  # terminates by itself once drained
+    assert sink.read(spark).count() == 3
