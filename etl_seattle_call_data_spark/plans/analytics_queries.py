@@ -410,3 +410,162 @@ def q_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.salted_join(o, c, on=["o_custkey"], salt_by="o_orderkey", n_salts=8).select(
         "o_orderkey", "o_custkey", "c_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes: EXISTS / NOT IN / disjunctive join predicates / top-k
+# report — the decorrelation patterns (TPC-H Q4/Q16/Q19/Q10 shapes) the
+# reference's serving layer would need as it grows beyond group-by-count
+# (SURVEY §2.4; reference ships only flat aggregates, README.md:130-134).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority_exists",
+    "TPC-H-Q4-style EXISTS decorrelation: orders with at least one line "
+    "shipped ≥60 days after the order date, counted by priority. The "
+    "EXISTS becomes a left-semi join with a mixed equi + non-equi "
+    "condition — lineitem never fans out the order rows.",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q16_supplier_cnt_not_in",
+    "TPC-H-Q16-style NOT IN + COUNT(DISTINCT): per (brand, size) count of "
+    "distinct suppliers shipping the part, excluding negative-balance "
+    "suppliers. NOT IN over a non-null key compiles to a broadcast "
+    "anti-join; the distinct agg is the only shuffle.",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_size <= 10
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    """,
+)
+def q_q16_supplier_cnt_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    "TPC-H-Q19-style disjunctive join: three OR'd (brand, size-band, "
+    "quantity-band) predicate groups over a single broadcast part join — "
+    "Catalyst extracts the common equi-key so the OR never forces a "
+    "nested-loop join.",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#34", 15, 20, 30))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    "TPC-H-Q10-style returned-item report: quarter of orders, lines "
+    "flagged 'R', revenue per customer with nation, top 20. Dim joins "
+    "broadcast; the orders⋈lineitem shuffle carries only the quarter.",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

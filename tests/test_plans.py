@@ -130,3 +130,30 @@ def test_q5_dim_chain_all_broadcast(spark):
     (region/nation/supplier/customer are all dims) — no sort-merge."""
     plan = _plan(REGISTRY["q5_local_supplier_volume"].spark(spark, SF))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_q4_exists_is_left_semi_not_fanout(spark):
+    """The EXISTS decorrelates to a left-semi join (order rows never
+    duplicate), with the non-equi ship-date bound as a join condition."""
+    plan = _plan(REGISTRY["q4_order_priority_exists"].spark(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    plan = _plan(REGISTRY["q16_supplier_cnt_not_in"].spark(spark, SF))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q19_disjunction_keeps_hash_join(spark):
+    """The OR'd predicate arms share the p_partkey equi-key: the plan
+    must stay a broadcast HASH join, not degrade to nested-loop."""
+    plan = _plan(REGISTRY["q19_disjunctive_revenue"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT 20 plans as TakeOrderedAndProject — a per-
+    partition top-k plus a 20-row driver merge, never a global sort."""
+    plan = _plan(REGISTRY["q10_returned_items"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in plan
