@@ -374,3 +374,39 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cluster_representatives(
+    components: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick one representative per duplicate cluster — the decision step
+    that turns near-dup clusters into a keep/drop list: keep the highest-
+    quality member (ties broken by smallest id, so the choice is
+    deterministic), drop the rest.
+
+    One broadcast-or-shuffle join to attach the quality signal + one
+    window top-1 per cluster. Cluster cardinality is small by
+    construction (near-dup components), so the window partition never
+    skews."""
+    from pyspark.sql.window import Window
+
+    scored = components.join(docs.select(F.col(id_col), F.col(quality_col)), on=id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("cluster_id"),
+            F.col(id_col).alias("rep_doc_id"),
+            F.col(quality_col).alias("rep_" + quality_col),
+        )
+        .join(
+            components.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members")),
+            on="cluster_id",
+        )
+    )

@@ -193,3 +193,83 @@ def rolling_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         lambda acc, t: (acc * ROLLHASH_BASE + t) % ROLLHASH_MOD,
     )
     return df.select(F.col(id_col), h.alias("roll_hash"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap — the
+    context-window packing step of a training-data pipeline (a doc longer
+    than the model context becomes ⌈n/step⌉ overlapping samples).
+
+    Pure Catalyst: tokenize once, generate chunk starts with ``sequence``
+    (0, step, 2·step, …), ``posexplode`` to one row per chunk, ``slice``
+    out the window. Per-row map work + one explode — no shuffle, no UDF;
+    at 100 TB this scales linearly and the explode fan-out is bounded by
+    tokens/step per document.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__tk") - 1, F.lit(0)), F.lit(step)
+    )
+    exploded = base.select(
+        F.col(id_col), F.col("__tk"), F.posexplode(starts).alias("chunk_id", "__start")
+    )
+    chunk = F.slice(F.col("__tk"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
+def repetition_ratios(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-token
+    fraction and the share of all word-bigrams taken by the single most
+    frequent bigram (boilerplate/spam detector — high top-bigram share =
+    machine-generated repetition).
+
+    Two shuffle-on-doc_id aggregations (token stats, bigram mode) joined
+    back — both partial-agg friendly; the bigram mode never materializes a
+    per-doc map, so skewed giant documents stay bounded."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    tok_rows = toks.select(F.col(id_col), F.explode("__t").alias("tok"))
+    tstats = tok_rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct_tokens"),
+    )
+    grams = F.when(
+        F.size("__t") >= 2,
+        F.expr("transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i+1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_counts = (
+        toks.select(F.col(id_col), F.explode(grams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    bstats = bg_counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_bigrams"),
+        F.max("__c").alias("top_bigram_n"),
+    )
+    joined = tstats.join(bstats, on=id_col, how="left")
+    n_bigrams = F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long"))
+    top_n = F.coalesce(F.col("top_bigram_n"), F.lit(0).cast("long"))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_distinct_tokens"),
+        (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias("distinct_frac"),
+        n_bigrams.alias("n_bigrams"),
+        top_n.alias("top_bigram_n"),
+        F.when(n_bigrams > 0, top_n.cast("double") / n_bigrams.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )

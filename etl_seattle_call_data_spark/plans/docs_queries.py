@@ -621,3 +621,142 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_checksum",
         *[F.element_at(F.col("feature"), j + 1).alias(f"f{j}") for j in range(8)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation wave 3: chunking, repetition quality, per-source
+# stats, cluster representative selection — the steps between "near-dup
+# pairs found" and "training corpus written".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunking",
+    "Context-window packing: each document split into 64-token chunks "
+    "with 16-token overlap (sequence → posexplode → slice; pure Catalyst, "
+    "one explode, no shuffle — operators/text.py::chunk_documents).",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 48)) AS start FROM t)
+    SELECT doc_id,
+           CAST(start // 48 AS INTEGER) AS chunk_id,
+           array_to_string(tk[start + 1:start + 64], ' ') AS chunk_text,
+           CAST(len(tk[start + 1:start + 64]) AS INTEGER) AS n_chunk_tokens
+    FROM s
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "doc_repetition_ratios",
+    "Gopher-style repetition signals: distinct-token fraction and top-"
+    "bigram share per document (two partial-agg-friendly shuffles joined "
+    "back — operators/text.py::repetition_ratios).",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+    ts AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                  COUNT(DISTINCT tok) AS n_distinct_tokens
+           FROM tok GROUP BY doc_id),
+    bg AS (SELECT doc_id, unnest(
+             CASE WHEN len(tk) >= 2
+               THEN list_transform(range(0, len(tk) - 1),
+                                   i -> tk[i + 1] || ' ' || tk[i + 2])
+               ELSE [] END) AS bigram FROM t),
+    bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+           FROM bgc GROUP BY doc_id)
+    SELECT ts.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+           CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_frac,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CASE WHEN COALESCE(n_bigrams, 0) > 0
+                THEN CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+)
+def q_doc_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_ratios(docs)
+
+
+@register(
+    "corpus_source_stats",
+    "Per-source corpus accounting (the per-domain rollup of a crawl "
+    "pipeline): doc counts, char/token budgets, language spread — one "
+    "shuffle on the low-cardinality source key.",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(len({_DUCK_TOKENS})) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(text.token_count("text")).alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "n_langs",
+        (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@register(
+    "dedup_cluster_representative",
+    "Keep/drop decision per near-dup cluster: highest-quality member "
+    "(n_chars, ties → smallest id) wins; emits representative + member "
+    "count. One join to attach quality + one small-partition window "
+    "top-1 over the clusters from connected components "
+    "(operators/dedup.py::cluster_representatives).",
+    f"""
+    WITH RECURSIVE {_duck_jaccard(max_df=_JACCARD_MAX_DF)},
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+             FROM reach GROUP BY node),
+    scored AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    members AS (SELECT cluster_id, COUNT(*) AS n_members FROM comp GROUP BY cluster_id)
+    SELECT s.cluster_id, s.doc_id AS rep_doc_id,
+           CAST(s.n_chars AS BIGINT) AS rep_n_chars,
+           CAST(m.n_members AS BIGINT) AS n_members
+    FROM scored s JOIN members m USING (cluster_id) WHERE rn = 1
+    """,
+)
+def q_dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, max_df=_JACCARD_MAX_DF)
+    comp = dedup.connected_components(pairs)
+    return dedup.cluster_representatives(comp, docs, quality_col="n_chars")

@@ -158,3 +158,54 @@ def test_lsh_bucket_forms_agree_on_long_and_ragged_vectors(spark):
     }
     assert hof == vec
     assert hof[0] == hof[1]  # extra dims beyond the plane contribute 0
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens, 2 chunks at step 6
+        (2, "solo"),  # 1 token → 1 chunk
+        (3, ""),  # empty → 1 empty chunk row (start 0)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1]
+    assert c1[0].chunk_text.split() == [f"t{i}" for i in range(8)]
+    # overlap: second chunk starts at token 6 (step = 8 - 2)
+    assert c1[1].chunk_text.split() == [f"t{i}" for i in range(6, 10)]
+    assert c1[1].n_chunk_tokens == 4
+    assert by_doc[2][0].chunk_text == "solo" and by_doc[2][0].n_chunk_tokens == 1
+    assert by_doc[3][0].chunk_text == "" and by_doc[3][0].n_chunk_tokens == 0
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_repetition_ratios_flags_boilerplate(spark):
+    rows = [
+        (1, "buy now " * 50),  # one bigram dominates
+        (2, "every word here is completely unique today"),
+        (3, "x"),  # single token → zero bigrams
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.repetition_ratios(df).collect()}
+    assert out[1].top_bigram_frac > 0.4  # "now buy"/"buy now" repetition
+    assert out[1].distinct_frac == pytest.approx(2 / 100)
+    assert out[2].top_bigram_frac == pytest.approx(1 / 6)
+    assert out[2].distinct_frac == 1.0
+    assert out[3].n_bigrams == 0 and out[3].top_bigram_frac == 0.0
+
+
+def test_cluster_representatives_quality_and_ties(spark):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["doc_id", "cluster_id"]
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 5)], ["doc_id", "n_chars"]
+    )
+    out = {r.cluster_id: r for r in dedup.cluster_representatives(comp, docs).collect()}
+    assert out[1].rep_doc_id == 2  # highest quality, tie broken by smaller id
+    assert out[1].n_members == 3
+    assert out[7].rep_doc_id == 7 and out[7].n_members == 2
