@@ -410,3 +410,42 @@ def cluster_representatives(
             on="cluster_id",
         )
     )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, the fraction
+    of its distinct word n-gram shingles that also occur anywhere in the
+    eval/benchmark set — the decontamination gate every training corpus
+    runs before a model sees it (high overlap = the doc leaks eval data
+    and must be dropped).
+
+    The eval vocabulary is a DISTINCT shingle set — typically tiny next
+    to the corpus (benchmarks are MBs, corpora are TBs), so the semi-
+    join broadcasts under AQE; the corpus side streams through it with
+    no shuffle beyond the per-doc count aggregation. Documents with
+    fewer than ``n`` tokens have no shingles and are not scored."""
+    corp_sh = shingle_sets(corpus, id_col, text_col, n)
+    eval_vocab = shingle_sets(eval_set, id_col, text_col, n).select("shingle").distinct()
+    sizes = corp_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corp_sh.join(eval_vocab, on="shingle", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    joined = sizes.join(hits, on=id_col, how="left")
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    frac = n_overlap.cast("double") / F.col("n_shingles").cast("double")
+    return joined.select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        n_overlap.alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(flag_threshold)).alias("contaminated"),
+    )

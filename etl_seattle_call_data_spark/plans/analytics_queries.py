@@ -569,3 +569,91 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    "TPC-H-Q17-style correlated scalar subquery, decorrelated: lines of "
+    "one brand's parts with quantity under 20% of that part's average. "
+    "The per-part average is a partial-agg shuffle on the (filtered, "
+    "broadcast-small) part set, joined back broadcast — the correlation "
+    "never re-scans lineitem per row.",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    # decorrelate: per-part avg over ALL lineitem (the subquery is not
+    # brand-filtered — it correlates only on partkey), then join back.
+    brand_lines = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    part_avg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("__pk"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("__qty_cap"))
+    )
+    return (
+        brand_lines.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qty_cap"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_high_balance",
+    "TPC-H-Q22-style: above-average-balance customers with no recent "
+    "orders — an uncorrelated scalar subquery (global avg, one tiny "
+    "broadcast row) + NOT EXISTS anti-join against the date-pruned "
+    "orders scan, grouped by nation.",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q_q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    # uncorrelated scalar subquery: a 1-row aggregate joined as a
+    # broadcast cross (every engine plans this as a reusable scalar)
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("__avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, on="c_custkey", how="left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )

@@ -760,3 +760,50 @@ def q_dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFram
     pairs = dedup.jaccard_pairs(docs, threshold=0.5, max_df=_JACCARD_MAX_DF)
     comp = dedup.connected_components(pairs)
     return dedup.cluster_representatives(comp, docs, quality_col="n_chars")
+
+
+@register(
+    "doc_contamination_check",
+    "Benchmark decontamination: per corpus doc (sources ≠ src0), the "
+    "fraction of its distinct 3-gram shingles found anywhere in the "
+    "src0 'benchmark' slice — eval vocabulary broadcast-semi-joined, "
+    "docs over 50% overlap flagged (operators/dedup.py::"
+    "contamination_overlap).",
+    f"""
+    WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+    eval_docs AS (SELECT * FROM documents WHERE source = 'src0'),
+    corp_sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(tk) >= 3
+          THEN list_transform(range(0, len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+          ELSE [] END) AS shingle
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM corpus)
+    ),
+    eval_vocab AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(tk) >= 3
+          THEN list_transform(range(0, len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+          ELSE [] END) AS shingle
+      FROM (SELECT {_DUCK_TOKENS} AS tk FROM eval_docs)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp_sh GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_overlap
+      FROM corp_sh WHERE shingle IN (SELECT shingle FROM eval_vocab)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / CAST(s.n_shingles AS DOUBLE)
+             AS overlap_frac,
+           CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / CAST(s.n_shingles AS DOUBLE)
+             >= 0.5 AS contaminated
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def q_doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_docs = docs.filter(F.col("source") == "src0")
+    return dedup.contamination_overlap(corpus, eval_docs)

@@ -212,3 +212,43 @@ def test_read_jsonl_safe_quarantines_bad_lines(spark, tmp_path):
     bad_lines = [r.raw for r in bad.collect()]
     assert len(bad_lines) == 2
     assert "not json" in bad_lines[0] or "not json" in bad_lines[1]
+
+
+def test_cluster_parquet_narrows_file_key_ranges(spark, tmp_path):
+    """After clustering, each file's [min,max] on the key covers a narrow
+    disjoint slice (so parquet row-group stats prune scans); before, every
+    file straddles essentially the whole key range."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_seattle_call_data_spark.operators import maintenance
+
+    path = str(tmp_path / "tbl")
+    # random layout: round-robin repartition scatters keys across files
+    spark.range(0, 40000).withColumnRenamed("id", "k").repartition(8).write.parquet(path)
+
+    def spans(p):
+        out = []
+        for f in os.listdir(p):
+            if not f.startswith("part-"):
+                continue
+            md = pq.ParquetFile(os.path.join(p, f)).metadata
+            col = md.row_group(0).column(0).statistics
+            lo, hi = col.min, col.max
+            for rg in range(1, md.num_row_groups):
+                s = md.row_group(rg).column(0).statistics
+                lo, hi = min(lo, s.min), max(hi, s.max)
+            out.append((lo, hi))
+        return out
+
+    before = spans(path)
+    assert all(hi - lo > 30000 for lo, hi in before)  # every file spans ~all keys
+
+    n = maintenance.cluster_parquet(spark, path, ["k"], n_files=8)
+    assert n == 8
+    after = sorted(spans(path))
+    assert all(hi - lo < 10000 for lo, hi in after)  # narrow slices
+    # disjoint: each file's range ends before the next begins
+    assert all(after[i][1] < after[i + 1][0] for i in range(len(after) - 1))
+    assert spark.read.parquet(path).count() == 40000
