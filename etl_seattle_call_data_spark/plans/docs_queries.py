@@ -807,3 +807,58 @@ def q_doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src0")
     eval_docs = docs.filter(F.col("source") == "src0")
     return dedup.contamination_overlap(corpus, eval_docs)
+
+
+@register(
+    "corpus_sequence_packing",
+    "LM training packing (concatenate-then-split): per source, documents "
+    "are concatenated in doc_id order and the token stream is cut every "
+    "2048 tokens; each doc learns its token offset and the "
+    "training-sequence ids it lands in. One window cumsum per source "
+    "partition — no explode, no UDF; at scale the window key (source) is "
+    "the natural ingest shard.",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens
+               AS start_offset
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens, start_offset,
+           start_offset // 2048 AS first_seq,
+           CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 2048
+                ELSE start_offset // 2048 END AS last_seq
+    FROM c
+    """,
+)
+def q_corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", text.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    first_seq = F.floor(F.col("start_offset") / 2048).cast("bigint")
+    last_seq = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / 2048).cast("bigint"),
+    ).otherwise(first_seq)
+    return c.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+    )

@@ -564,3 +564,67 @@ def q_range_clicks_10min_before_purchase(spark: SparkSession, sf_dir: str) -> Da
         count_alias="n_clicks",
     )
     return counted.select(F.col("event_id").alias("purchase_id"), "user_id", "n_clicks")
+
+
+@register(
+    "regression_value_by_hour",
+    "Per-group exact OLS: slope/intercept of (quantized) event value vs "
+    "hours-since-epoch-start, computed from exact integer moment sums "
+    "(n, Σx, Σy, Σxy, Σx²) in one partial-agg shuffle — the closed form "
+    "engines' regr_slope uses, but with bit-deterministic accumulation "
+    "(float sums would hash-differ across engines/partition orders).",
+    """
+    WITH m AS (
+      SELECT event_type,
+             (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) // 3600 AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                ELSE 0.0 END AS slope_q,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                ELSE 0.0 END AS intercept_q
+    FROM s
+    """,
+)
+def q_regression_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.floor((F.col("ts").cast("long") - F.lit(1704067200)) / F.lit(3600)).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    m = ev.select("event_type", x.alias("x"), y.alias("y"))
+    s = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    numer = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = numer.cast("double") / denom.cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.when(denom != 0, slope).otherwise(F.lit(0.0)).alias("slope_q"),
+        F.when(
+            denom != 0,
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("intercept_q"),
+    )

@@ -157,3 +157,30 @@ def test_q10_topk_uses_take_ordered(spark):
     partition top-k plus a 20-row driver merge, never a global sort."""
     plan = _plan(REGISTRY["q10_returned_items"].spark(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_correlation_is_broadcast_not_rescan(spark):
+    """The correlated scalar subquery decorrelates to a broadcast of the
+    per-part averages — lineitem is scanned exactly twice (brand lines +
+    the avg build), never per-row."""
+    plan = _plan(REGISTRY["q17_small_quantity_revenue"].spark(spark, SF), mode="simple")
+    assert plan.count("Scan parquet") <= 4
+    assert "BroadcastHashJoin" in plan
+
+
+def test_regression_is_single_shuffle(spark):
+    """Exact OLS moments = one partial-agg shuffle on the group key."""
+    plan = _plan(REGISTRY["regression_value_by_hour"].spark(spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_chunking_has_no_shuffle(spark):
+    """Chunking is per-row map + explode — any Exchange would mean an
+    accidental shuffle of the whole corpus."""
+    plan = _plan(REGISTRY["doc_chunking"].spark(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_sequence_packing_single_window_shuffle(spark):
+    plan = _plan(REGISTRY["corpus_sequence_packing"].spark(spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1 and "Window" in plan
