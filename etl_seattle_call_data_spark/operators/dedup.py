@@ -281,6 +281,15 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
+        # localCheckpoint (not just persist): each generation's LOGICAL
+        # plan otherwise nests the previous generation's plan plus the
+        # full edge lineage — linear-in-rounds logical growth that makes
+        # downstream composition (joins over the cluster table) blow the
+        # driver heap just BUILDING the plan. Checkpointing truncates
+        # lineage to the materialized partitions, exactly what GraphX
+        # does between Pregel rounds. Local (executor-storage) form is
+        # right for this engine's driver-side loop; on a cluster with
+        # flaky executors swap for sc.setCheckpointDir + .checkpoint().
         updated = (
             labels.join(neighbour_min, "node", "left")
             .select(
@@ -288,7 +297,7 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("__changed"),
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=False)
         # ORDER MATTERS: materialize the new generation (count) while its
         # parent is still cached, THEN release the parent — releasing
         # first turns every round into a full-lineage recomputation all

@@ -18,21 +18,29 @@ from etl_seattle_call_data_spark.sources.registry import load_table
 
 # DuckDB fragments mirroring operators/text.py primitives
 _DUCK_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
-_DUCK_SHINGLES = f"""
+
+
+def _duck_shingles(rel: str = "documents") -> str:
+    return f"""
     SELECT DISTINCT doc_id, unnest(
       CASE WHEN len(tk) >= 3
         THEN list_transform(range(0, len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
         ELSE [] END) AS shingle
-    FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents)
+    FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM {rel})
 """
-def _duck_jaccard(max_df: int | None = None) -> str:
+
+
+_DUCK_SHINGLES = _duck_shingles()
+
+
+def _duck_jaccard(max_df: int | None = None, rel: str = "documents") -> str:
     """Jaccard CTE chain; ``max_df`` mirrors operators/dedup.py::
     cap_document_frequency (shingles with document frequency > max_df are
     dropped from sizes AND intersections)."""
     if max_df is None:
-        sh_cte = f"sh AS ({_DUCK_SHINGLES})"
+        sh_cte = f"sh AS ({_duck_shingles(rel)})"
     else:
-        sh_cte = f"""sh_all AS ({_DUCK_SHINGLES}),
+        sh_cte = f"""sh_all AS ({_duck_shingles(rel)}),
   kept AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= {max_df}),
   sh AS (SELECT a.doc_id, a.shingle FROM sh_all a JOIN kept USING (shingle))"""
     return f"""
@@ -861,4 +869,77 @@ def q_corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_offset",
         first_seq.alias("first_seq"),
         last_seq.alias("last_seq"),
+    )
+
+
+@register(
+    "corpus_clean_pipeline",
+    "Capstone composite — the full corpus-cleaning pass in one plan: "
+    "quality gate (≥20 tokens) → exact dedup (keep min doc_id per "
+    "canonical-md5) → near-dup removal (capped-Jaccard clusters, keep "
+    "the highest-quality member) → surviving corpus with token/char "
+    "budgets. Stage outputs chain as DataFrames, so Catalyst sees one "
+    "tree: the quality filter pushes into the scan every later stage "
+    "reads, and the shingle cache is shared with the standalone dedup "
+    "queries.",
+    f"""
+    WITH RECURSIVE survivors0 AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE len({_DUCK_TOKENS}) >= 20
+    ),
+    fp AS (
+      SELECT doc_id, text, n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM survivors0
+    ),
+    keep_exact AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    survivors1 AS (SELECT fp.doc_id, fp.text, fp.n_chars
+                   FROM fp JOIN keep_exact USING (doc_id)),
+    {_duck_jaccard(max_df=_JACCARD_MAX_DF, rel="survivors1")},
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+             FROM reach GROUP BY node),
+    reps AS (
+      SELECT doc_id FROM (
+        SELECT c.cluster_id, c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY s.n_chars DESC, c.doc_id) AS rn
+        FROM comp c JOIN survivors1 s USING (doc_id)
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT doc_id FROM comp
+      WHERE doc_id NOT IN (SELECT doc_id FROM reps)
+    )
+    SELECT s.doc_id,
+           CAST(len({_DUCK_TOKENS.replace("text", "s.text")}) AS INTEGER) AS n_tokens,
+           CAST(s.n_chars AS BIGINT) AS n_chars
+    FROM survivors1 s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    survivors0 = docs.filter(text.token_count("text") >= 20)
+    keep = dedup.exact_dedup_groups(survivors0).select(
+        F.col("representative_id").alias("doc_id")
+    )
+    survivors1 = survivors0.join(keep, on="doc_id", how="left_semi")
+    pairs = dedup.jaccard_pairs(survivors1, threshold=0.5, max_df=_JACCARD_MAX_DF)
+    comp = dedup.connected_components(pairs)
+    reps = dedup.cluster_representatives(comp, survivors1, quality_col="n_chars")
+    dropped = comp.join(
+        reps.select(F.col("rep_doc_id").alias("doc_id")), on="doc_id", how="left_anti"
+    ).select("doc_id")
+    return survivors1.join(dropped, on="doc_id", how="left_anti").select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.col("n_chars"),
     )

@@ -184,3 +184,10 @@ def test_chunking_has_no_shuffle(spark):
 def test_sequence_packing_single_window_shuffle(spark):
     plan = _plan(REGISTRY["corpus_sequence_packing"].spark(spark, SF), mode="simple")
     assert plan.count("Exchange") == 1 and "Window" in plan
+
+
+def test_q6_predicates_fully_pushed_down(spark):
+    """Q6's whole WHERE clause must reach the parquet scan."""
+    plan = _plan(REGISTRY["q6_forecast_revenue_change"].spark(spark, SF))
+    pf = next(line for line in plan.splitlines() if "PushedFilters" in line)
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
