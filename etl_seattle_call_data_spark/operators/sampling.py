@@ -60,3 +60,27 @@ def stratified_sample(
         .filter(F.col("__rn") <= F.expr(f"(__n + {fraction_denom - 1}) DIV {fraction_denom}"))
         .drop("__h", "__rn", "__n")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, int] | None = None,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's portable hash
+    bucket maps to a named split by cumulative share (default 80/10/10).
+    Seedless and engine-portable — the same row lands in the same split
+    on any engine, any partitioning, any run; adding rows never moves
+    existing ones (the property random split lacks). Pure narrow map."""
+    splits = splits or {"train": 80, "val": 10, "test": 10}
+    if sum(splits.values()) != buckets:
+        raise ValueError("split shares must sum to the bucket count")
+    b = hash_bucket(key_col, buckets)
+    expr = None
+    cum = 0
+    for name, share in splits.items():
+        cum += share
+        cond = b < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from etl_seattle_call_data_spark.operators.calldata import (
@@ -39,6 +40,7 @@ class BatchPipelineResult:
     row_counts: dict[str, int] = field(default_factory=dict)
     transformed: DataFrame | None = None
     registered_tables: list[str] = field(default_factory=list)
+    metrics: dict[str, object] = field(default_factory=dict)
 
 
 def run_batch_pipeline(
@@ -64,6 +66,16 @@ def run_batch_pipeline(
     # invokes it — here it is wired in)
     require_columns(raw, REQUIRED_RAW_COLUMNS)
     transformed = transform_call_data(raw)
+    # Data-quality metrics ride the existing job via observe() — computed
+    # map-side during the first materializing action, zero extra passes
+    # (vs the reference's separate count()/show() actions per table).
+    obs = Observation("batch_quality")
+    transformed = transformed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("cad_event_number").isNull().cast("long")).alias("null_event_keys"),
+        F.sum(F.col("event_date").isNull().cast("long")).alias("null_event_dates"),
+    )
     # One materialization feeds all six writes (reference re-computes 6×).
     transformed = transformed.persist(StorageLevel.DISK_ONLY)
     sink = sink if sink is not None else ParquetDirSink(output_dir, single_file=single_file)
@@ -82,5 +94,8 @@ def run_batch_pipeline(
             spark, sink, table_names=list(tables), database=register_catalog
         )
     return BatchPipelineResult(
-        row_counts=counts, transformed=transformed, registered_tables=registered
+        row_counts=counts,
+        transformed=transformed,
+        registered_tables=registered,
+        metrics=obs.get,
     )

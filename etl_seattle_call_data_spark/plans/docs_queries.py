@@ -943,3 +943,39 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.token_count("text").alias("n_tokens"),
         F.col("n_chars"),
     )
+
+
+@register(
+    "corpus_train_split",
+    "Deterministic 80/10/10 train/val/test assignment on the portable "
+    "md5 hash bucket (seedless, partition-invariant, stable under corpus "
+    "growth — unlike randomSplit) with per-split budget accounting "
+    "(operators/sampling.py::hash_split).",
+    f"""
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens
+    FROM (
+      SELECT text,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT text,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+            FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def q_corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count("text")).alias("total_tokens"),
+        )
+    )

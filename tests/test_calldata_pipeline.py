@@ -156,6 +156,9 @@ def test_full_pipeline_with_catalog_registration(spark, tmp_path):
     )
     assert res.row_counts["fact_call"] == 7
     assert len(res.registered_tables) == 6
+    # observe() quality metrics rode the write job — no extra pass
+    assert res.metrics["n_rows"] == 7
+    assert res.metrics["null_event_keys"] == 0
     n = spark.sql("SELECT count(*) AS n FROM serving_test.fact_call").first().n
     assert n == 7
     joined = spark.sql(

@@ -499,3 +499,62 @@ def test_available_now_backfill_terminates(spark, tmp_path):
     q = run_upsert_stream(stream, sink, str(tmp_path / "ckpt"), available_now=True)
     assert q.awaitTermination(120)  # terminates by itself once drained
     assert sink.read(spark).count() == 3
+
+
+def test_stream_stream_join_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter variant: a purchase with no in-window click emits
+    null-padded once the watermark passes its join window (state is
+    evicted, not held forever)."""
+    from pyspark.sql import types as T
+
+    from etl_seattle_call_data_spark.streaming.pipeline import stream_stream_interval_join
+
+    p_dir, c_dir = tmp_path / "purchases", tmp_path / "clicks"
+    p_dir.mkdir(), c_dir.mkdir()
+    p_schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("p_ts", T.TimestampType())]
+    )
+    c_schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("c_ts", T.TimestampType())]
+    )
+    (p_dir / "p1.json").write_text(
+        json.dumps({"user_id": 7, "p_ts": "2024-01-01T12:10:00"})
+        + "\n"
+        + json.dumps({"user_id": 8, "p_ts": "2024-01-01T12:10:00"})
+    )
+    (c_dir / "c1.json").write_text(
+        json.dumps({"user_id": 7, "c_ts": "2024-01-01T12:05:00"})
+    )
+    purchases = spark.readStream.schema(p_schema).json(str(p_dir))
+    clicks = spark.readStream.schema(c_schema).json(str(c_dir))
+    joined = stream_stream_interval_join(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        lower_s=-600, upper_s=0, watermark="10 minutes", how="leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance both watermarks well past user 8's join window, then
+        # run follow-up batches so the outer result flushes
+        for i, ts in enumerate(["2024-01-01T14:00:00", "2024-01-01T15:00:00"]):
+            (p_dir / f"late{i}.json").write_text(
+                json.dumps({"user_id": 99, "p_ts": ts})
+            )
+            (c_dir / f"late{i}.json").write_text(
+                json.dumps({"user_id": 99, "c_ts": ts})
+            )
+            q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, c_ts FROM ssj_outer_test WHERE user_id IN (7, 8)"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.user_id: r.c_ts for r in rows}
+    assert got[7] is not None and got[7].minute == 5  # matched inner row
+    assert 8 in got and got[8] is None  # unmatched left row, null-padded
