@@ -979,3 +979,45 @@ def q_corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(text.token_count("text")).alias("total_tokens"),
         )
     )
+
+
+@register(
+    "doc_rarity_scores",
+    "Token-rarity quality signal: per document, the corpus-wide document "
+    "frequency of its distinct tokens — hapax fraction (df=1 share) and "
+    "mean df, exact integer-sum ratios (the deterministic stand-in for "
+    "log-prob LM scoring, whose libm bit-parity is not portable). "
+    "Vocabulary df table joins back broadcast-small; two shuffles total.",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok)
+    SELECT doc_id,
+           COUNT(*) AS n_distinct_tokens,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS hapax_frac,
+           CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df
+    FROM tok JOIN dfreq USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    hapax = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1))
+    return (
+        tok.join(dfreq, on="tok")
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_distinct_tokens"),
+            hapax.alias("n_hapax"),
+            (hapax.cast("double") / n).alias("hapax_frac"),
+            (F.sum("df").cast("double") / n).alias("mean_df"),
+        )
+    )

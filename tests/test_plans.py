@@ -191,3 +191,36 @@ def test_q6_predicates_fully_pushed_down(spark):
     plan = _plan(REGISTRY["q6_forecast_revenue_change"].spark(spark, SF))
     pf = next(line for line in plan.splitlines() if "PushedFilters" in line)
     assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """When a selective dim side can't broadcast (threshold exceeded),
+    Spark 3.3+ can inject a runtime bloom filter built from the dim keys
+    into the fact scan — the shuffle-join analog of broadcast pruning.
+    Pinned here as scale evidence: at 100 TB the fact side of a
+    non-broadcastable selective join should still skip most rows."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        q = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "bloom_filter_agg" in _plan(q, mode="simple")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
