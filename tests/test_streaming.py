@@ -558,3 +558,54 @@ def test_stream_stream_join_left_outer_emits_unmatched(spark, tmp_path):
     got = {r.user_id: r.c_ts for r in rows}
     assert got[7] is not None and got[7].minute == 5  # matched inner row
     assert 8 in got and got[8] is None  # unmatched left row, null-padded
+
+
+def test_http_json_source_pagination(tmp_path):
+    """HttpJsonSource against a live local HTTP server: limit/offset
+    pagination advances per poll exactly like the reference producer's
+    Socrata $limit/$offset loop."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    DATA = [{"id": i, "v": f"r{i}"} for i in range(5)]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            limit = int(qs.get("$limit", ["100"])[0])
+            offset = int(qs.get("$offset", ["0"])[0])
+            body = json.dumps(DATA[offset : offset + limit]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    from etl_seattle_call_data_spark.streaming.feeder import FileStreamFeeder, HttpJsonSource
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/data"
+        src = HttpJsonSource(url, limit=2)
+        feeder = FileStreamFeeder(str(tmp_path / "in"), src)
+        sizes = []
+        for _ in range(4):
+            p = feeder.poll_once()
+            if p is None:
+                sizes.append(0)
+            else:
+                sizes.append(len(open(p).read().strip().splitlines()))
+        # pages of 2, 2, 1, then exhausted (empty poll publishes nothing)
+        assert sizes == [2, 2, 1, 0]
+        assert src.offset == 5
+        # every published record carries the ingest stamp field
+        files = sorted((tmp_path / "in").glob("*.json"))
+        recs = [json.loads(line) for f in files for line in open(f)]
+        assert len(recs) == 5 and all("processed_at" in r for r in recs)
+    finally:
+        srv.shutdown()
