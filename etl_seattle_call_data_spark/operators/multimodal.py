@@ -119,3 +119,82 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.LongType(), True),
+        T.StructField("frame_checksum", T.LongType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 256, every_k: int = 4, strict: bool = False
+) -> DataFrame:
+    """Frame sampling for video-shaped payloads: the payload is treated
+    as ``ceil(n_bytes / frame_size)`` fixed-size frames and every k-th
+    frame is emitted as its own row — the mapInPandas fan-out shape
+    (1 input row → many output rows) a real video pipeline uses, with
+    the frame DECODE stubbed (strict mode marks the integration point).
+
+    Fan-out is bounded by n_bytes/(frame_size·k) per row; the byte-budget
+    repartition upstream keeps per-task output memory flat."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            if strict:
+                raise NotImplementedError(
+                    "frame decode requires a video library not present in "
+                    "this environment; wire ffmpeg/decord here"
+                )
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, every_k):
+                    fr = payload[idx * frame_size : (idx + 1) * frame_size]
+                    rows.append((media_id, idx, len(fr), sum(fr) % (1 << 31)))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_bytes", "frame_checksum"]
+            )
+
+    return repartition_by_bytes(media).select("media_id", "payload").mapInPandas(
+        batches, FRAME_SCHEMA
+    )
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 1024, strict: bool = False
+) -> DataFrame:
+    """Resize/downsample plumbing: emits a payload deterministically
+    reduced to ≤ ``target_bytes`` (stride subsampling — the stand-in for
+    a real pixel resize) with refreshed metadata. Output schema matches
+    the input media schema, so resize stages compose/chain."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import pandas as _pd
+
+        for pdf in it:
+            if strict:
+                raise NotImplementedError(
+                    "image resize requires an image library not present in "
+                    "this environment; wire PIL/opencv here"
+                )
+            out = []
+            for media_id, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                payload = bytes(payload) if payload is not None else b""
+                stride = max(1, _math.ceil(len(payload) / target_bytes))
+                small = payload[::stride]
+                meta = dict(meta) if meta is not None else {}
+                meta["n_bytes"] = len(small)
+                out.append((media_id, small, meta))
+            yield _pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)

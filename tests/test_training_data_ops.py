@@ -209,3 +209,28 @@ def test_cluster_representatives_quality_and_ties(spark):
     assert out[1].rep_doc_id == 2  # highest quality, tie broken by smaller id
     assert out[1].n_members == 3
     assert out[7].rep_doc_id == 7 and out[7].n_members == 2
+
+
+def test_sample_frames_fanout_and_determinism(docs):
+    media = multimodal.documents_as_media(docs)
+    out = multimodal.sample_frames(media, frame_size=10, every_k=2).collect()
+    text1 = docs.filter(F.col("doc_id") == 1).first().text.encode()
+    rows1 = sorted([r for r in out if r.media_id == 1], key=lambda r: r.frame_idx)
+    n_frames = (len(text1) + 9) // 10
+    assert [r.frame_idx for r in rows1] == list(range(0, n_frames, 2))
+    assert rows1[0].frame_checksum == sum(text1[:10]) % (1 << 31)
+    # empty doc → zero frames, not a null row
+    assert not [r for r in out if r.media_id == 5]
+    with pytest.raises(Exception):
+        multimodal.sample_frames(media, strict=True).collect()
+
+
+def test_resize_media_composes(docs):
+    media = multimodal.documents_as_media(docs)
+    small = multimodal.resize_media(media, target_bytes=8)
+    rows = {r.media_id: r for r in small.collect()}
+    assert all(len(r.payload or b"") <= 8 for r in rows.values())
+    assert rows[1].meta.n_bytes == len(rows[1].payload)
+    # output schema == input schema → stages chain
+    again = multimodal.resize_media(small, target_bytes=4).collect()
+    assert all(len(r.payload or b"") <= 4 for r in again)
