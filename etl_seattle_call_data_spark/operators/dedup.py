@@ -49,7 +49,7 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
-def cap_document_frequency(sh: DataFrame, max_df: int, id_col: str = "doc_id") -> DataFrame:
+def cap_document_frequency(sh: DataFrame, max_df: int) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df`` — the
     CCNet/suffix-array-style hot-key bound for shared-shingle joins.
 
@@ -96,7 +96,7 @@ def jaccard_pairs(
     # and the cap is a cheap derivation on top of the shared cache.
     sh = cache_swap("doc_shingles", shingle_sets(df, id_col, text_col, n))
     if max_df is not None:
-        sh = cache_swap("jaccard_shingles", cap_document_frequency(sh, max_df, id_col))
+        sh = cache_swap("jaccard_shingles", cap_document_frequency(sh, max_df))
     inter = _shared_shingle_pairs(sh, id_col)
     return _jaccard_from_intersections(sh, inter, id_col, threshold)
 
@@ -309,8 +309,12 @@ def connected_components(
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
-    # hand the final generation to the cross-invocation registry so a
-    # later call (or re-run) releases it instead of leaking executor cache
+    # Storage reclamation: unpersist() is a no-op for localCheckpoint
+    # blocks — they free via ContextCleaner once the RDD is unreferenced.
+    # The loop drops each generation's reference as it advances, so old
+    # generations become collectable immediately; registering the FINAL
+    # generation replaces (and thereby un-references) the previous
+    # invocation's labels, keeping at most one invocation's blocks live.
     register_cached("cc_labels", prev)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -440,7 +444,10 @@ def contamination_overlap(
     join broadcasts under AQE; the corpus side streams through it with
     no shuffle beyond the per-doc count aggregation. Documents with
     fewer than ``n`` tokens have no shingles and are not scored."""
-    corp_sh = shingle_sets(corpus, id_col, text_col, n)
+    # the corpus shingle set feeds BOTH the size aggregation and the
+    # semi-join branch — persist it or Catalyst re-tokenizes the corpus
+    # once per branch (same hazard jaccard_pairs documents)
+    corp_sh = cache_swap("contamination_shingles", shingle_sets(corpus, id_col, text_col, n))
     eval_vocab = shingle_sets(eval_set, id_col, text_col, n).select("shingle").distinct()
     sizes = corp_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (

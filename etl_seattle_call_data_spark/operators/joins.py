@@ -41,6 +41,12 @@ def salted_join(
     """Skew-safe equi-join: identical results to ``fact.join(dim, on,
     how)`` but a hot join key's rows spread over ``n_salts`` tasks.
 
+    Fact-preserving joins only (inner/left/left_semi/left_anti): the
+    rewrite replicates the DIM side, so a dim row with no fact match
+    would surface ``n_salts`` duplicate null-padded rows under
+    right/full-outer semantics — those joins are rejected rather than
+    silently wrong (salt the other side instead).
+
     Standard salting rewrite: the fact side gets a deterministic salt
     (hash of ``salt_by``, a fact-side unique-ish column — deterministic
     where the usual ``rand()`` salt is not, so retried stages and reruns
@@ -54,6 +60,11 @@ def salted_join(
     AQE's skew-join split handles sort-merge skew adaptively; this
     operator is the explicit/deterministic form for pipelines that need
     plan stability."""
+    if how.replace("_", "").lower() not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, not {how!r}: "
+            "the replicated dim side would emit duplicate unmatched rows"
+        )
     f = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_by).cast("string")), F.lit(n_salts)).cast("int")
     )

@@ -22,6 +22,28 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+
+
+def _heal_and_swap(spark: SparkSession, path: str, tmp: str) -> None:
+    """Publish ``tmp`` as ``path`` via rename-swap, healing leftovers of
+    a previous crashed swap first: a stale ``__old`` beside a live
+    ``path`` is deleted; a stale ``__old`` with ``path`` missing (crash
+    between the two renames) is restored before swapping. Finishes with
+    ``refreshByPath`` so Spark's cached file listings/data for the old
+    files are invalidated (in-place rewrites otherwise serve stale
+    cached scans)."""
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # prior run crashed after swap, before cleanup
+        else:
+            os.rename(old, path)  # prior run crashed mid-swap: restore
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -35,10 +57,7 @@ def compact_parquet(
     n = max(1, (total + target_file_bytes - 1) // target_file_bytes)
     tmp = path.rstrip("/") + "__compacting"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _heal_and_swap(spark, path, tmp)
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet") or f.startswith("part-")]
     )
@@ -71,8 +90,5 @@ def cluster_parquet(
     clustered = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(*cluster_by)
     tmp = path.rstrip("/") + "__clustering"
     clustered.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _heal_and_swap(spark, path, tmp)
     return len([f for f in os.listdir(path) if f.startswith("part-")])

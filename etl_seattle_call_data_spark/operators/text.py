@@ -125,13 +125,15 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     Output: (id, n_emails, n_phones, redacted) with occurrences replaced
     by [EMAIL]/[PHONE] placeholders."""
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_PATTERN, "[EMAIL]"), PHONE_PATTERN, "[PHONE]"
-    )
+    # phones are counted on the EMAIL-REDACTED text, matching the order
+    # of replacement — a digit run inside an email's local part must not
+    # inflate n_phones past the [PHONE] placeholders actually produced
+    after_email = F.regexp_replace(t, EMAIL_PATTERN, "[EMAIL]")
+    redacted = F.regexp_replace(after_email, PHONE_PATTERN, "[PHONE]")
     return df.select(
         F.col(id_col),
         F.regexp_count(t, F.lit(EMAIL_PATTERN)).alias("n_emails"),
-        F.regexp_count(t, F.lit(PHONE_PATTERN)).alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PHONE_PATTERN)).alias("n_phones"),
         redacted.alias("redacted"),
     )
 

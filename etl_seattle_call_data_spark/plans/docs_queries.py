@@ -514,7 +514,7 @@ def q_doc_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{text.EMAIL_PATTERN}')) AS INTEGER) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{text.PHONE_PATTERN}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(regexp_replace(text, '{text.EMAIL_PATTERN}', '[EMAIL]', 'g'), '{text.PHONE_PATTERN}')) AS INTEGER) AS n_phones,
            md5(regexp_replace(regexp_replace(text, '{text.EMAIL_PATTERN}', '[EMAIL]', 'g'),
                               '{text.PHONE_PATTERN}', '[PHONE]', 'g')) AS redacted_md5
     FROM documents

@@ -65,7 +65,16 @@ class KeyedUpsertSink:
         if not os.path.exists(self._manifest):
             return {}
         with open(self._manifest) as f:
-            doc = json.load(f)
+            raw = f.read()
+        try:
+            doc = json.loads(raw)
+        except json.JSONDecodeError as exc:
+            raise ValueError(
+                f"{self._manifest} is not a JSON manifest (found {raw[:40]!r}): "
+                "this store predates the bucketed-snapshot layout and has no "
+                "automatic migration — re-materialize it through upsert_batch "
+                "into a fresh path"
+            ) from exc
         return doc.get("buckets", {})
 
     def _publish_manifest(self, buckets: dict[str, str]) -> None:

@@ -252,3 +252,15 @@ def test_cluster_parquet_narrows_file_key_ranges(spark, tmp_path):
     # disjoint: each file's range ends before the next begins
     assert all(after[i][1] < after[i + 1][0] for i in range(len(after) - 1))
     assert spark.read.parquet(path).count() == 40000
+
+
+def test_salted_join_rejects_dim_preserving_joins(spark):
+    from etl_seattle_call_data_spark.operators import joins
+
+    f = spark.createDataFrame([(1, "a")], ["k", "v"])
+    d = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    with pytest.raises(ValueError, match="fact-preserving"):
+        joins.salted_join(f, d, on=["k"], salt_by="v", how="full")
+    # left-anti remains supported and correct
+    out = joins.salted_join(d, f.select("k"), on=["k"], salt_by="w", how="left_anti")
+    assert [r.k for r in out.collect()] == [2]

@@ -560,7 +560,7 @@ def test_stream_stream_join_left_outer_emits_unmatched(spark, tmp_path):
     assert 8 in got and got[8] is None  # unmatched left row, null-padded
 
 
-def test_http_json_source_pagination(tmp_path):
+def test_http_feeder_publishes_pages(tmp_path):
     """HttpJsonSource against a live local HTTP server: limit/offset
     pagination advances per poll exactly like the reference producer's
     Socrata $limit/$offset loop."""

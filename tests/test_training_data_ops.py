@@ -234,3 +234,17 @@ def test_resize_media_composes(docs):
     # output schema == input schema → stages chain
     again = multimodal.resize_media(small, target_bytes=4).collect()
     assert all(len(r.payload or b"") <= 4 for r in again)
+
+
+def test_redact_pii_counts_reconcile_with_placeholders(spark):
+    df = spark.createDataFrame(
+        [(1, "reach me at a1234567890@example.com"),  # digit run inside email
+         (2, "call +1 (206) 555-0100 or mail x@y.org")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    # the email's embedded digits must not count as a phone
+    assert out[1].n_emails == 1 and out[1].n_phones == 0
+    assert out[1].redacted.count("[PHONE]") == out[1].n_phones
+    assert out[2].n_emails == 1 and out[2].n_phones == 1
+    assert out[2].redacted.count("[PHONE]") == out[2].n_phones
