@@ -41,7 +41,12 @@ def cache_swap(key: str, df: DataFrame):
     warm storage rather than re-tokenizing/re-joining the corpus. This
     is the engine's one-generation materialized-intermediate reuse; the
     source relations are files, so identical plans read identical data
-    within a session."""
+    within a session. Caveat: anything that rewrites those files IN
+    PLACE mid-session (compact_parquet / cluster_parquet, an external
+    writer) invalidates that premise — those paths call
+    ``refreshByPath``, but a semantically-identical cache_swap entry
+    built pre-rewrite would still serve old data; call ``clear_caches()``
+    after rewriting a table an operator has cached."""
     from pyspark.storagelevel import StorageLevel
 
     old = _last_cached.get(key)
@@ -69,3 +74,17 @@ def register_cached(key: str, df: DataFrame | None) -> None:
         _last_cached.pop(key, None)
     else:
         _last_cached[key] = df
+
+
+def clear_caches() -> None:
+    """Release every registry-held persisted intermediate and forget the
+    registry. Call after rewriting source files in place (compaction,
+    clustering, external overwrite): cache_swap's sameSemantics reuse
+    assumes within-session immutability of the underlying files, and a
+    pre-rewrite cache would otherwise keep serving old data."""
+    for df in _last_cached.values():
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass  # session may already be stopped
+    _last_cached.clear()
