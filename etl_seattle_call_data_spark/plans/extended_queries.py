@@ -628,3 +628,73 @@ def q_regression_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("intercept_q"),
     )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    "Time-series gap filling: a dense (user × day) spine generated with "
+    "sequence+explode, left-joined against daily aggregates, missing "
+    "days filled by last-observation-carried-forward (ignore-nulls "
+    "last() window). The spine is generated, never materialized as a "
+    "source: rows = users × horizon regardless of event sparsity, and "
+    "the LOCF window is one shuffle on user.",
+    """
+    WITH spine AS (
+      SELECT u.user_id, CAST(d.d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS d
+      ) d
+    ),
+    daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS day_avg
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           daily.day_avg IS NOT NULL AS observed,
+           COALESCE(last_value(daily.day_avg IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS filled_avg
+    FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day
+    """,
+)
+def q_timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("day_avg")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, on=["user_id", "day"], how="left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("day_avg").isNotNull().alias("observed"),
+            F.coalesce(
+                F.last("day_avg", ignorenulls=True).over(w), F.lit(-1.0)
+            ).alias("filled_avg"),
+        )
+    )
