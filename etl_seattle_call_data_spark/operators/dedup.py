@@ -358,14 +358,18 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with Hamming(simhash) ≤ max_hamming, found via
     4-band blocking (15 bits each). Pigeonhole: ≤3 differing bits cannot
     straddle all 4 bands, so recall is exact for max_hamming ≤ 3."""
     assert max_hamming <= 3, "4-band blocking is only exact for hamming <= 3"
     # persist: the signature table (one row/doc) feeds BOTH sides of the
-    # band self-join; without it the tokenize+60-agg pipeline runs twice
-    sig = cache_swap("simhash_sig", simhash(df, id_col, text_col))
+    # band self-join; without it the tokenize+60-agg pipeline runs twice.
+    # Callers holding an already-persisted signature table (plans layer
+    # memoization) pass it via ``sig`` and skip the rebuild entirely.
+    if sig is None:
+        sig = cache_swap("simhash_sig", simhash(df, id_col, text_col))
     bands = F.array(
         *[
             F.struct(

@@ -88,3 +88,27 @@ def clear_caches() -> None:
         except Exception:
             pass  # session may already be stopped
     _last_cached.clear()
+    _memo_tokens.clear()
+
+
+_memo_tokens: dict[str, object] = {}
+
+
+def cache_memo(key: str, token: object, builder):
+    """Token-keyed variant of ``cache_swap`` that skips even the PLAN
+    BUILD on a repeat hit: if ``token`` (an explicit fingerprint of every
+    builder input — path, params) matches the last invocation's, the
+    cached frame is returned without calling ``builder``.
+
+    ``cache_swap``'s sameSemantics reuse still has to construct and
+    canonicalize the candidate plan to compare it — for wide expression
+    trees (SimHash's 60-aggregate plan) that alone costs ~2s per
+    invocation. Sources are static files within a session, so an
+    explicit token is a sound stand-in. Use cache_swap when the token
+    would be awkward to state; use this where plan construction itself
+    is the cost."""
+    if key in _memo_tokens and _memo_tokens[key] == token and key in _last_cached:
+        return _last_cached[key]
+    df = cache_swap(key, builder())
+    _memo_tokens[key] = token
+    return df

@@ -246,8 +246,20 @@ def _simhash_cte() -> str:
     f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sig",
 )
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs)
+    return _memo_simhash_sig(spark, sf_dir)
+
+
+def _memo_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature table shared by doc_simhash and dedup_simhash_pairs —
+    token-memoized so the 60-aggregate plan is BUILT once per (corpus)
+    too, not just computed once (plan construction alone costs ~2s)."""
+    from etl_seattle_call_data_spark.operators.util import cache_memo
+
+    return cache_memo(
+        "simhash_sig",
+        ("simhash", sf_dir),
+        lambda: dedup.simhash(load_table(spark, sf_dir, "documents")),
+    )
 
 
 @register(
@@ -272,7 +284,7 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=3)
+    return dedup.simhash_pairs(docs, max_hamming=3, sig=_memo_simhash_sig(spark, sf_dir))
 
 
 _DUCK_QVEC = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
