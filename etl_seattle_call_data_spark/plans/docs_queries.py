@@ -172,8 +172,41 @@ _JACCARD_MAX_DF = 100
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, threshold=0.5, max_df=_JACCARD_MAX_DF)
+    return _memo_jaccard_pairs(spark, sf_dir)
+
+
+def _memo_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified capped-Jaccard pair table shared by dedup_ngram_jaccard,
+    dedup_clusters and dedup_cluster_representative — token-memoized so
+    the shingle-join plan is built once per corpus (the inner shingle
+    tables are already cache_swap'd; this skips rebuilding the pair plan
+    and its sameSemantics canonicalization on every repeat caller)."""
+    from etl_seattle_call_data_spark.operators.util import cache_memo
+
+    return cache_memo(
+        "jaccard_pairs",
+        ("jaccard_pairs", sf_dir, 0.5, _JACCARD_MAX_DF),
+        lambda: dedup.jaccard_pairs(
+            load_table(spark, sf_dir, "documents"),
+            threshold=0.5,
+            max_df=_JACCARD_MAX_DF,
+        ),
+    )
+
+
+def _memo_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components cluster table over the memoized pair graph,
+    shared by dedup_clusters and dedup_cluster_representative. The
+    label-propagation loop runs eagerly (per-round counts), so sharing
+    the finished table saves the entire iteration for the second
+    caller."""
+    from etl_seattle_call_data_spark.operators.util import cache_memo
+
+    return cache_memo(
+        "cc_components",
+        ("cc_components", sf_dir, 0.5, _JACCARD_MAX_DF),
+        lambda: dedup.connected_components(_memo_jaccard_pairs(spark, sf_dir)),
+    )
 
 
 def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
@@ -589,9 +622,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, threshold=0.5, max_df=_JACCARD_MAX_DF)
-    return dedup.connected_components(pairs)
+    return _memo_components(spark, sf_dir)
 
 
 @register(
@@ -777,8 +808,7 @@ def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, threshold=0.5, max_df=_JACCARD_MAX_DF)
-    comp = dedup.connected_components(pairs)
+    comp = _memo_components(spark, sf_dir)
     return dedup.cluster_representatives(comp, docs, quality_col="n_chars")
 
 
