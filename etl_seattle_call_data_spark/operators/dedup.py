@@ -81,12 +81,19 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via a shared-shingle
     equi-join (no cross join): |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
 
     ``max_df`` (strongly recommended at scale) bounds the per-shingle
-    join fan-out — see ``cap_document_frequency``."""
+    join fan-out — see ``cap_document_frequency``.
+
+    ``shingles``: caller-supplied (id, shingle) frame that must equal
+    ``shingle_sets(df, id_col, text_col, n)`` semantically. Shingling is
+    per-document, so a caller working on a FILTERED corpus can derive
+    its shingle set from an already-cached full-corpus table with one
+    semi-join instead of re-tokenizing (corpus_clean_pipeline does)."""
     # persist the exploded shingle set: it feeds the pair join twice and
     # the size aggregation — without it Catalyst re-tokenizes the corpus
     # once per branch (observed: 8 parquet scans in the un-persisted plan).
@@ -94,7 +101,10 @@ def jaccard_pairs(
     # uses ("doc_shingles"): on the same corpus the two operators share
     # one tokenize+explode+distinct via cache_swap's sameSemantics reuse,
     # and the cap is a cheap derivation on top of the shared cache.
-    sh = cache_swap("doc_shingles", shingle_sets(df, id_col, text_col, n))
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = cache_swap("doc_shingles", shingle_sets(df, id_col, text_col, n))
     if max_df is not None:
         sh = cache_swap("jaccard_shingles", cap_document_frequency(sh, max_df))
     inter = _shared_shingle_pairs(sh, id_col)

@@ -968,13 +968,30 @@ def q_corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators.util import cache_swap
+
     docs = load_table(spark, sf_dir, "documents")
     survivors0 = docs.filter(text.token_count("text") >= 20)
     keep = dedup.exact_dedup_groups(survivors0).select(
         F.col("representative_id").alias("doc_id")
     )
-    survivors1 = survivors0.join(keep, on="doc_id", how="left_semi")
-    pairs = dedup.jaccard_pairs(survivors1, threshold=0.5, max_df=_JACCARD_MAX_DF)
+    # survivors1 feeds five plan branches (shingle derivation, cluster
+    # quality join, the two final anti-joins, token/char budgets) — persist
+    # the tiny (id, text, n_chars) projection or each branch re-reads the
+    # parquet and re-runs the quality gate + exact-dedup semi-join.
+    survivors1 = cache_swap(
+        "corpus_clean_survivors",
+        survivors0.join(keep, on="doc_id", how="left_semi"),
+    )
+    # shingling is per-document: the filtered corpus' shingle set is the
+    # cached FULL-corpus shingle table (shared with the standalone dedup
+    # queries via sameSemantics) semi-joined to surviving ids — no
+    # re-tokenization of the surviving 85% of the corpus.
+    sh_full = cache_swap("doc_shingles", dedup.shingle_sets(docs))
+    sh_surv = sh_full.join(survivors1.select("doc_id"), "doc_id", "left_semi")
+    pairs = dedup.jaccard_pairs(
+        survivors1, threshold=0.5, max_df=_JACCARD_MAX_DF, shingles=sh_surv
+    )
     comp = dedup.connected_components(pairs)
     reps = dedup.cluster_representatives(comp, survivors1, quality_col="n_chars")
     dropped = comp.join(
