@@ -479,3 +479,63 @@ def contamination_overlap(
         frac.alias("overlap_frac"),
         (frac >= F.lit(flag_threshold)).alias("contaminated"),
     )
+
+
+def block_dedup_stats(
+    df: DataFrame,
+    block_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document (block-level) duplication stats: the corpus-scale
+    answer to "how much of this document is boilerplate that appears in
+    OTHER documents" — the granularity exact/minhash/simhash dedup miss
+    because they score whole documents. The CCNet/RefinedWeb pipelines
+    run exactly this pass (paragraph- or line-level) before whole-doc
+    dedup; this corpus has no paragraph marks, so the unit is a fixed
+    window of ``block_tokens`` consecutive tokens (non-overlapping,
+    trailing partial window dropped).
+
+    Per document with ≥1 full block: (doc_id, n_blocks, n_dup_blocks,
+    dup_frac) where a block instance is duplicated iff its exact content
+    occurs in ≥2 DISTINCT documents (within-doc repeats alone don't
+    count — that's repetition_ratios' job).
+
+    Scale shape: one explode (corpus_tokens / block_tokens rows), one
+    groupBy on the block hash for document frequency, one shuffle join
+    back on the same key (co-partitioned with the groupBy output), one
+    per-doc aggregation — all linear, no self-join, no hot-key hazard
+    (a block duplicated in k docs contributes k rows, not k²)."""
+    b = block_tokens
+    toks = tokens(F.col(text_col)).alias("__t")
+    base = _spread(df).select(F.col(id_col), toks)
+    # md5 of the joined block text: the engine-portable content key
+    blocks_expr = F.expr(
+        f"transform(sequence(0, size(__t) DIV {b} - 1), "
+        f"i -> md5(array_join(slice(__t, i * {b} + 1, {b}), ' ')))"
+    )
+    inst = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(F.col("__t")) >= b, blocks_expr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("block_hash"),
+    )
+    inst = cache_swap("block_instances", inst)
+    block_df = inst.groupBy("block_hash").agg(
+        F.count_distinct(id_col).alias("__ndocs")
+    )
+    scored = inst.join(block_df, "block_hash")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((F.col("__ndocs") >= 2).cast("long")).alias("n_dup_blocks"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_blocks"),
+        F.col("n_dup_blocks"),
+        (F.col("n_dup_blocks").cast("double") / F.col("n_blocks").cast("double")).alias(
+            "dup_frac"
+        ),
+    )

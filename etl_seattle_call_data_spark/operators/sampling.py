@@ -84,3 +84,39 @@ def hash_split(
         cond = b < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    scale: int = 1000,
+) -> DataFrame:
+    """Temperature-based source mixing (T = 2, i.e. weight ∝ √n): the
+    standard multi-source LM sampling policy (multilingual/multi-corpus
+    training upweights small sources relative to proportional sampling).
+
+    Cross-engine exactness: a general n^(1/T) needs pow(), whose libm
+    rounding differs across engines — √n is the IEEE-754 correctly-
+    rounded case, so the pipeline quantizes w_q = floor(√n · scale) to
+    BIGINT and allocates ``budget`` expected samples by integer floor
+    division. Output: one row per group with n_rows, w_q, sample_quota
+    (= budget·w_q DIV Σw_q) and the double mixing fraction (one division
+    at the end).
+
+    Scale shape: one groupBy count over the corpus; everything after
+    operates on the group-cardinality table (tiny), where the Σw_q
+    window is a single-partition aggregate by construction."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    w_q = F.floor(F.sqrt(F.col("n_rows").cast("double")) * scale).cast("long")
+    weighted = counts.withColumn("w_q", w_q)
+    total = F.sum("w_q").over(Window.partitionBy())
+    return weighted.select(
+        F.col(group_col),
+        F.col("n_rows"),
+        F.col("w_q"),
+        F.expr(f"CAST({budget} * w_q AS BIGINT) DIV SUM(w_q) OVER ()").alias("sample_quota"),
+        (F.col("w_q").cast("double") / total.cast("double")).alias("mix_frac"),
+    )

@@ -275,3 +275,64 @@ def repetition_ratios(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     )
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document —
+    the classic KenLM-style quality gate (docs whose word transitions are
+    improbable under the corpus distribution are noise/gibberish), with
+    exact cross-engine arithmetic.
+
+    Model: c2(w1,w2) = corpus count of the bigram, c1(w1) = count of
+    bigram slots starting with w1 (= Σ_w2 c2). The per-slot score is the
+    conditional probability c2/c1 in fixed-point: q = (c2·10⁶) DIV c1 —
+    integer floor division, bit-identical on every engine (a float
+    log-prob would hinge on libm). Per document: n_bigrams, total score
+    (exact BIGINT sum), and the mean as the ONE double division at the
+    end. Documents with < 2 tokens have no bigrams and are not scored.
+
+    Scale shape: one explode (corpus token count rows), two groupBy
+    counts (bigram vocab, unigram vocab), two joins back on the bigram/
+    first-token keys — both co-partitioned with their count aggregations
+    — then one per-doc aggregation. All linear; vocabulary tables are
+    corpus-vocab-sized, typically broadcastable."""
+    from etl_seattle_call_data_spark.operators.util import cache_swap, spread
+
+    toks = tokens(F.col(text_col)).alias("__t")
+    base = spread(df).select(F.col(id_col), toks)
+    bigram_expr = F.expr(
+        "transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i+1]))"
+    )
+    inst = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(F.col("__t")) >= 2, bigram_expr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("bg"),
+    )
+    inst = cache_swap("bigram_instances", inst)
+    c2 = inst.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        inst.select(F.substring_index(F.col("bg"), " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    scored = (
+        inst.join(c2, "bg")
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(c1, "w1")
+        .withColumn("q", F.expr("CAST(c2 * 1000000 AS BIGINT) DIV c1"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("q").alias("score_total_q"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("score_total_q"),
+        (F.col("score_total_q").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "mean_score_q"
+        ),
+    )

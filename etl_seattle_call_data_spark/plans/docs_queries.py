@@ -1080,3 +1080,101 @@ def q_doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("df").cast("double") / n).alias("mean_df"),
         )
     )
+
+
+_BLOCK = 10
+
+
+@register(
+    "dedup_block_level",
+    "Sub-document duplication: fraction of each doc's 10-token blocks "
+    "whose exact content appears in >= 2 distinct documents — the "
+    "CCNet-style paragraph/boilerplate pass whole-doc dedup misses. One "
+    "explode + DF groupBy + co-partitioned join back; linear, fan-out "
+    "k not k^2 per duplicated block (operators/dedup.py::"
+    "block_dedup_stats).",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    blocks AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(tk) >= {_BLOCK}
+          THEN list_transform(range(0, len(tk) // {_BLOCK}),
+                              i -> md5(array_to_string(tk[i*{_BLOCK}+1:i*{_BLOCK}+{_BLOCK}], ' ')))
+          ELSE [] END) AS block_hash
+      FROM tk
+    ),
+    bdf AS (SELECT block_hash, COUNT(DISTINCT doc_id) AS ndocs FROM blocks GROUP BY block_hash)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+           CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM blocks b JOIN bdf d USING (block_hash)
+    GROUP BY b.doc_id
+    """,
+)
+def q_dedup_block_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.block_dedup_stats(docs, block_tokens=_BLOCK)
+
+
+@register(
+    "doc_bigram_lm_score",
+    "Corpus-trained bigram-LM fluency score per doc (KenLM-style quality "
+    "gate) in exact fixed-point: per-slot q = c2*1e6 DIV c1, exact BIGINT "
+    "doc sums, one double division for the mean. One explode + two vocab "
+    "groupBys + co-partitioned joins back (operators/text.py::"
+    "bigram_lm_scores).",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    inst AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(tk) >= 2
+          THEN list_transform(range(0, len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])
+          ELSE [] END) AS bg
+      FROM tk
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM inst GROUP BY bg),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS c1 FROM inst GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((c2.c2 * 1000000) // c1.c1) AS BIGINT) AS score_total_q,
+           CAST(SUM((c2.c2 * 1000000) // c1.c1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_score_q
+    FROM inst JOIN c2 USING (bg)
+    JOIN c1 ON string_split(inst.bg, ' ')[1] = c1.w1
+    GROUP BY doc_id
+    """,
+)
+def q_doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(docs)
+
+
+@register(
+    "corpus_temperature_weights",
+    "Temperature (T=2) source-mixing weights: w ∝ √n_docs quantized to "
+    "BIGINT (sqrt is IEEE-correctly-rounded — the one power cross-engine "
+    "exactness allows), integer quota allocation over a 10k-sample "
+    "budget, one double division for the mixing fraction "
+    "(operators/sampling.py::temperature_weights).",
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source),
+    weighted AS (
+      SELECT source, n_rows,
+             CAST(floor(sqrt(CAST(n_rows AS DOUBLE)) * 1000) AS BIGINT) AS w_q
+      FROM counts
+    )
+    SELECT source,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           w_q,
+           CAST((10000 * w_q) // SUM(w_q) OVER () AS BIGINT) AS sample_quota,
+           CAST(w_q AS DOUBLE) / CAST(SUM(w_q) OVER () AS DOUBLE) AS mix_frac
+    FROM weighted
+    """,
+)
+def q_corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_weights(docs, "source", budget=10000)

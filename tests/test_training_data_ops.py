@@ -248,3 +248,50 @@ def test_redact_pii_counts_reconcile_with_placeholders(spark):
     assert out[1].redacted.count("[PHONE]") == out[1].n_phones
     assert out[2].n_emails == 1 and out[2].n_phones == 1
     assert out[2].redacted.count("[PHONE]") == out[2].n_phones
+
+
+def test_block_dedup_stats_cross_doc_only(spark):
+    # 4-token blocks; doc 1 and 2 share their first block; doc 3 repeats
+    # its own block twice (within-doc repeat — must NOT count as dup);
+    # doc 4 is too short for any block.
+    rows = [
+        (1, "a b c d x y z w"),  # blocks: [a b c d], [x y z w]
+        (2, "a b c d q r s t"),  # blocks: [a b c d], [q r s t]
+        (3, "m n o p m n o p"),  # blocks: [m n o p], [m n o p] (same doc)
+        (4, "u v"),  # no full block
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.block_dedup_stats(df, block_tokens=4).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 has no blocks → no row
+    assert out[1].n_blocks == 2 and out[1].n_dup_blocks == 1 and out[1].dup_frac == 0.5
+    assert out[2].n_blocks == 2 and out[2].n_dup_blocks == 1
+    # within-doc repeat: block df counts DISTINCT docs, so not duplicated
+    assert out[3].n_blocks == 2 and out[3].n_dup_blocks == 0 and out[3].dup_frac == 0.0
+
+
+def test_bigram_lm_scores_fixed_point(spark):
+    # corpus: "a b" x2 slots from doc1+doc2, "a c" x1 from doc2.
+    # c1(a) = 3, c2(a b) = 2, c2(a c) = 1.
+    rows = [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.bigram_lm_scores(df).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 has one token → no bigrams
+    # q(a b) = 2*1e6 DIV 3 = 666666; q(a c) = 1*1e6 DIV 3 = 333333
+    assert out[1].score_total_q == 666_666 and out[1].n_bigrams == 1
+    assert out[3].score_total_q == 333_333
+    assert out[1].mean_score_q == 666_666.0
+
+
+def test_temperature_weights_quota_allocation(spark):
+    from etl_seattle_call_data_spark.operators import sampling
+
+    # sources with 100 and 400 rows: sqrt weights 10000 vs 20000 (scale
+    # 1000) → quotas 1/3 and 2/3 of budget, floor-divided.
+    df = spark.range(500).select(
+        F.when(F.col("id") < 100, "small").otherwise("big").alias("source")
+    )
+    out = {r.source: r for r in sampling.temperature_weights(df, "source", budget=9000).collect()}
+    assert out["small"].w_q == 10_000 and out["big"].w_q == 20_000
+    assert out["small"].sample_quota == 3000 and out["big"].sample_quota == 6000
+    # upweighting: small is 20% of rows but 33% of the mix
+    assert abs(out["small"].mix_frac - 1 / 3) < 1e-12
