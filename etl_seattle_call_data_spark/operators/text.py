@@ -336,3 +336,53 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             "mean_score_q"
         ),
     )
+
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Search-engine-style inverted index summary: per term, document
+    frequency, total term frequency, the 5 smallest posting doc ids
+    (comma-joined preview), and an ORDER-INDEPENDENT posting checksum.
+
+    Scale honesty: a full per-term posting list (collect_list) is the
+    textbook hot-key hazard — a stopword's postings in a 1B-doc corpus
+    are GBs in one reducer. So nothing here materializes one: the
+    preview keeps only rank ≤ 5 via a sort-window (sort-based, spills;
+    no per-group memory), and the checksum is a SUM over per-doc hashes
+    (order-independent, exact BIGINT: md5-prefix % 1e9 summed — fits
+    63 bits for up to ~9e9 postings per term), so it aggregates without
+    ever assembling the list."""
+    from pyspark.sql.window import Window
+
+    from etl_seattle_call_data_spark.operators.sketch import portable_hash_int
+    from etl_seattle_call_data_spark.operators.util import cache_swap, spread
+
+    toks = tokens(F.col(text_col)).alias("__t")
+    inst = (
+        spread(df)
+        .select(F.col(id_col), F.explode(toks).alias("term"))
+    )
+    # per (term, doc) term frequency — the posting row
+    postings = cache_swap(
+        "inverted_postings",
+        inst.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf")),
+    )
+    stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.sum(portable_hash_int(id_col) % F.lit(1_000_000_000)).alias("posting_checksum"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col(id_col))
+    preview = (
+        postings.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(id_col)), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("posting_preview")
+        )
+    )
+    return stats.join(preview, "term")

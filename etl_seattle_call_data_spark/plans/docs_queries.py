@@ -1178,3 +1178,94 @@ def q_corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sampling.temperature_weights(docs, "source", budget=10000)
+
+
+_CMS_HASH = "('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || term), 1, 15))::BIGINT"
+
+
+@register(
+    "heavy_hitters_cms",
+    "Count-min sketch (4x1024, engine-portable md5 hashing) over the "
+    "corpus token stream, probed at the exact top-10 tokens — "
+    "overestimate >= 0 by construction. Sketch built from the exact "
+    "per-key count table (vocab-sized), not the instance stream, so the "
+    "only corpus-scale shuffle is the token groupBy "
+    "(operators/sketch.py).",
+    f"""
+    WITH inst AS (SELECT unnest({_DUCK_TOKENS}) AS term FROM documents),
+    counts AS (SELECT term, COUNT(*) AS exact_count FROM inst GROUP BY term),
+    seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+    keyed AS (
+      SELECT c.term, s.seed, {_CMS_HASH} % 1024 AS bucket, c.exact_count
+      FROM counts c CROSS JOIN seeds s
+    ),
+    sketch AS (SELECT seed, bucket, SUM(exact_count) AS total FROM keyed GROUP BY 1, 2),
+    probes AS (SELECT term, exact_count FROM counts ORDER BY exact_count DESC, term LIMIT 10),
+    est AS (
+      SELECT k.term, MIN(sk.total) AS cms_estimate
+      FROM keyed k JOIN sketch sk USING (seed, bucket)
+      WHERE k.term IN (SELECT term FROM probes)
+      GROUP BY k.term
+    )
+    SELECT p.term,
+           CAST(p.exact_count AS BIGINT) AS exact_count,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(e.cms_estimate - p.exact_count AS BIGINT) AS overestimate
+    FROM probes p JOIN est e USING (term)
+    """,
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import sketch
+    from etl_seattle_call_data_spark.operators.util import cache_swap
+
+    docs = load_table(spark, sf_dir, "documents")
+    inst = docs.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+    counts = cache_swap(
+        "cms_token_counts",
+        inst.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count")),
+    )
+    cms = sketch.cms_build(counts, "term", "exact_count", depth=4, width=1024)
+    probes = counts.orderBy(F.desc("exact_count"), F.asc("term")).limit(10)
+    est = sketch.cms_estimate(cms, probes.select("term"), "term", depth=4, width=1024)
+    return (
+        probes.join(est, "term")
+        .select(
+            "term",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+    )
+
+
+@register(
+    "doc_inverted_index",
+    "Inverted-index summary per term: document frequency, total tf, "
+    "5-smallest-postings preview (bounded — never a full collect_list "
+    "on a hot term) and an order-independent posting checksum that "
+    "aggregates without assembling the list (operators/text.py::"
+    "inverted_index).",
+    f"""
+    WITH inst AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+    postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM inst GROUP BY 1, 2),
+    stats AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS total_tf,
+             CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      % 1000000000) AS BIGINT) AS posting_checksum
+      FROM postings GROUP BY term
+    ),
+    preview AS (
+      SELECT term,
+             array_to_string((array_agg(doc_id ORDER BY doc_id))[1:5], ',')
+               AS posting_preview
+      FROM postings GROUP BY term
+    )
+    SELECT s.term, s.df, s.total_tf, s.posting_checksum, p.posting_preview
+    FROM stats s JOIN preview p USING (term)
+    """,
+)
+def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.inverted_index(docs)

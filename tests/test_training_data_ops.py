@@ -295,3 +295,34 @@ def test_temperature_weights_quota_allocation(spark):
     assert out["small"].sample_quota == 3000 and out["big"].sample_quota == 6000
     # upweighting: small is 20% of rows but 33% of the mix
     assert abs(out["small"].mix_frac - 1 / 3) < 1e-12
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    from etl_seattle_call_data_spark.operators import sketch
+
+    counts = spark.createDataFrame(
+        [("alpha", 100), ("beta", 40), ("gamma", 7)], ["term", "c"]
+    )
+    cms = sketch.cms_build(counts, "term", "c", depth=4, width=1024)
+    est = {
+        r.term: r.cms_estimate
+        for r in sketch.cms_estimate(cms, counts.select("term"), "term").collect()
+    }
+    exact = {"alpha": 100, "beta": 40, "gamma": 7}
+    # CMS guarantee: estimate >= exact always; with 3 keys in 4x1024
+    # buckets collisions are effectively impossible, so estimates are tight
+    assert est == exact
+
+
+def test_inverted_index_bounded_preview_and_checksum(spark):
+    rows = [(i, "common unique%d" % i) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.term: r for r in text.inverted_index(df).collect()}
+    common = out["common"]
+    assert common.df == 8 and common.total_tf == 8
+    # preview is the 5 SMALLEST doc ids, numerically ordered, never all 8
+    assert common.posting_preview == "1,2,3,4,5"
+    assert out["unique3"].df == 1 and out["unique3"].posting_preview == "3"
+    # checksum is order-independent: same value from a reshuffled frame
+    out2 = {r.term: r for r in text.inverted_index(df.orderBy(F.desc("doc_id"))).collect()}
+    assert out2["common"].posting_checksum == common.posting_checksum
