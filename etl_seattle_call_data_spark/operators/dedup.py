@@ -200,16 +200,29 @@ def minhash_lsh_pairs(
     )
     # verify ONLY the candidate pairs: restrict the shared-shingle
     # intersection join to candidates instead of computing all-pairs
-    # Jaccard (LSH exists precisely to avoid that work)
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # Jaccard (LSH exists precisely to avoid that work). Restriction goes
+    # one level deeper than filtering pairs: the shingle table itself is
+    # semi-joined down to candidate DOCS first (identical result — rows
+    # for non-candidate docs cannot survive the inner joins), so the
+    # intersection equi-join and the set-size aggregation run over the
+    # few-candidates-sized table and AQE broadcasts them, instead of
+    # shuffling the full corpus-sized shingle table on (doc, shingle).
+    candidates = cache_swap("lsh_candidates", candidates)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = cache_swap("lsh_cand_shingles", sh.join(cand_ids, id_col, "left_semi"))
+    sh_a = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh_cand.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         candidates.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _jaccard_from_intersections(sh, inter, id_col, threshold)
+    return _jaccard_from_intersections(sh_cand, inter, id_col, threshold)
 
 
 def incremental_dedup(
