@@ -140,9 +140,14 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    # Semi-join the raw pair stream against the filtered part keys BEFORE
+    # the distinct: the dedup shuffle then carries only the ~1/5 of pairs
+    # that survive the p_size predicate, and the later inner join (for
+    # p_name) is against the same filtered side.
     ps = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
+        .join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .distinct()
     )
     s = load_table(spark, sf_dir, "supplier")
@@ -350,17 +355,21 @@ def q_q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
-    stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_fail"),
+    # One aggregation tree instead of two lineitem scans: collapse to
+    # (orderkey, suppkey, failed) first — COUNT(*)/SUM(failed) over that
+    # equals the two COUNT(DISTINCT)s, without the expand operator a
+    # multi-distinct agg plans, and the two consumers below share the
+    # same exchange (AQE reuses it).
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("failed")
     )
-    failing = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    stats = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("failed").alias("n_fail"),
     )
+    failing = per_supp.filter(F.col("failed") == 1).select("l_orderkey", "l_suppkey")
     return (
         failing.join(stats, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_fail") == 1))
