@@ -120,3 +120,33 @@ def temperature_weights(
         F.expr(f"CAST({budget} * w_q AS BIGINT) DIV SUM(w_q) OVER ()").alias("sample_quota"),
         (F.col("w_q").cast("double") / total.cast("double")).alias("mix_frac"),
     )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    n: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-group quota cap: keep the top-``n`` rows of each group under a
+    caller-supplied DETERMINISTIC order (callers must include a unique
+    tie-break column, or the kept set is run-dependent).
+
+    The canonical corpus use: cap documents per source/domain at N,
+    ranked by quality — the "domain quota" step every web-scale corpus
+    applies so one giant crawl domain cannot dominate the training mix.
+
+    Scale shape: one shuffle on the group key, then a streaming window
+    rank that emits at most n rows per group — no global sort, no
+    collect. A skewed group (one domain = 30% of the corpus) serializes
+    that group's rank into one task; pre-filter obvious bulk (exact
+    dups) first, which is what corpus_clean_pipeline does upstream.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )

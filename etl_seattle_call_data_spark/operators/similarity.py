@@ -342,3 +342,30 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid of an embedding column, one row per (label,
+    dim) — the class-prototype table used for centroid classification,
+    cluster drift checks, and IVF codebook seeding.
+
+    Exactness: dims are posexploded to (label, dim, quantized long), so
+    the mean numerator is an exact integer sum; the one double division
+    at the end is bit-identical across engines.
+
+    Scale shape: explode multiplies rows by dims (64×) but the partial
+    aggregation combines map-side before the one shuffle on (label,
+    dim) — cardinality labels×dims, tiny. No collect, no driver state.
+    """
+    q = with_quantized(df, vec_col)
+    ex = q.select(F.col(label_col), F.posexplode("qvec").alias("dim", "qval"))
+    return ex.groupBy(label_col, "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("qval").cast("bigint").alias("qsum"),
+        (
+            F.sum("qval").cast("double")
+            / (F.count(F.lit(1)) * QUANT_SCALE).cast("double")
+        ).alias("centroid"),
+    )

@@ -386,3 +386,50 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         )
     )
     return stats.join(preview, "term")
+
+
+def readability(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Flesch-style readability from portable regex counts.
+
+    words = whitespace tokens; sentences = runs of terminal punctuation
+    ``[.!?]+``; syllable proxy = vowel-group runs ``[aeiouy]+`` over the
+    lowercased text. The score is the classic Flesch form on those
+    counts: ``206.835 − 1.015·(words/sentences) − 84.6·(vgroups/words)``
+    with both divisors floored at 1. Every term is an IEEE double op on
+    identical integer inputs, so the oracle matches bit-for-bit; the
+    char-class regexes behave identically under Java regex and RE2.
+
+    Scale: pure per-row map, no shuffle, stays in whole-stage codegen.
+    """
+    t = F.col(text_col)
+    n_words = token_count(t)
+    n_sent = F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0)))
+    n_vg = F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), F.lit(0)))
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_vg.alias("n_vowel_groups"),
+    )
+    words_d = F.col("n_words").cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words_d / F.greatest(F.col("n_sentences"), F.lit(1)).cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_vowel_groups").cast("double") / F.greatest(F.col("n_words"), F.lit(1)).cast("double"))
+    )
+    return out.withColumn("flesch", flesch)
+
+
+def bigrams(text: Column | str) -> Column:
+    """``array<string>`` of adjacent-token bigrams ("a b"), empty for
+    docs under two tokens. Built with transform over an index sequence
+    (guarded: Spark's ``sequence(0, n)`` runs DESCENDING when n<0, so
+    the short-doc arm never builds one)."""
+    tk = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(tk) - 2)
+    arr = F.transform(
+        idx,
+        lambda i: F.concat(F.element_at(tk, i + 1), F.lit(" "), F.element_at(tk, i + 2)),
+    )
+    return F.when(F.size(tk) >= 2, arr).otherwise(F.array().cast("array<string>"))
