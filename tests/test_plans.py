@@ -224,3 +224,53 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q21_has_no_expand_single_agg_tree(spark):
+    """The decorrelated Q21 pre-aggregates to (orderkey, suppkey,
+    failed) once; a multi-COUNT(DISTINCT) formulation would plan an
+    Expand operator (row duplication per distinct group) — assert it
+    stays eliminated."""
+    plan = _plan(REGISTRY["q21_sole_failing_supplier"].spark(spark, SF))
+    assert "Expand" not in plan
+
+
+def test_q2_semi_filters_before_distinct(spark):
+    """The part predicate must reach the pair stream BEFORE dedup: a
+    LeftSemi join feeds the distinct aggregate, so the shuffle carries
+    only surviving pairs."""
+    plan = _plan(REGISTRY["q2_best_supplier_per_part"].spark(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_bigram_topk_uses_take_ordered(spark):
+    """Global top-20 must plan as TakeOrdered(AndProject), never a full
+    sort of the bigram count table."""
+    plan = _plan(REGISTRY["ngram_top_bigrams"].spark(spark, SF), mode="simple")
+    assert "TakeOrdered" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_anomaly_zscore_stats_broadcast(spark):
+    """The per-type stats table (5 rows) must broadcast back onto the
+    event scan — shuffling the events for a 5-row join is the
+    at-scale failure mode."""
+    plan = _plan(REGISTRY["anomaly_zscore_events"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    plan = _plan(REGISTRY["vocab_coverage"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_source_quota_single_shuffle(spark):
+    """Quota capping is one shuffle (partitionBy source) + streaming
+    window rank — no second exchange, no global sort."""
+    plan = _plan(REGISTRY["corpus_source_quota"].spark(spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_readability_no_shuffle(spark):
+    plan = _plan(REGISTRY["doc_readability"].spark(spark, SF), mode="simple")
+    assert "Exchange" not in plan
