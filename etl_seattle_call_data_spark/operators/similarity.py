@@ -369,3 +369,66 @@ def label_centroids(
             / (F.count(F.lit(1)) * QUANT_SCALE).cast("double")
         ).alias("centroid"),
     )
+
+
+def lsh_probe_buckets(bucket_col, num_planes: int = 8) -> F.Column:
+    """Multi-probe bucket list: the home bucket plus every bucket at
+    Hamming distance 1 (one sign bit flipped). Sign-LSH's miss mode is
+    a near-neighbor landing one hyperplane flip away; probing those
+    num_planes neighbors recovers most of that recall WITHOUT extra
+    hash tables (Lv et al., VLDB'07 multi-probe idea) — corpus-side
+    layout is unchanged, only the query side fans out ×(planes+1)."""
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    return F.array(b, *[b.bitwiseXOR(F.lit(2**p)) for p in range(num_planes)])
+
+
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """ANN top-k with Hamming-1 multi-probe: bucket corpus once, explode
+    each query into its probe list, equi-join on the probed bucket, and
+    exact re-rank over the union of candidates.
+
+    Probes are distinct buckets and a corpus row lives in exactly one
+    bucket, so candidate (query, neighbor) pairs are already unique — no
+    dedup stage. Scale shape matches single-probe lsh_topk: the corpus
+    (big side) still shuffles once on its bucket; only the tiny query
+    side multiplies by planes+1.
+    """
+    bucket = lsh_bucket_vectorized(num_planes)
+    c = with_quantized(_spread(corpus), vec_col).withColumn(
+        "bucket", bucket(F.col("qvec"))
+    )
+    qs = with_quantized(queries, vec_col).withColumn("bucket", bucket(F.col("qvec")))
+    cc = c.select(
+        "bucket",
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("vc"),
+        F.col("qnorm2").alias("nc"),
+    )
+    qq = qs.select(
+        F.explode(lsh_probe_buckets("bucket", num_planes)).alias("bucket"),
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("vq"),
+        F.col("qnorm2").alias("nq"),
+    )
+    cos = _dot(F.col("vq"), F.col("vc"), dims).cast("double") / F.sqrt(
+        (F.col("nq") * F.col("nc")).cast("double")
+    )
+    scored = (
+        cc.join(qq, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

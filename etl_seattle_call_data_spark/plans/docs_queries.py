@@ -407,6 +407,37 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, num_planes=8)
 
 
+@register(
+    "similarity_topk_lsh_multiprobe",
+    "ANN top-5 with Hamming-1 multi-probe LSH: each query also probes "
+    "the num_planes buckets one sign-flip away (Lv et al. VLDB'07), "
+    "recovering the recall single-probe loses to boundary flips at the "
+    "cost of a ×(planes+1) fan-out on the TINY query side only — the "
+    "corpus layout and its single bucket shuffle are unchanged "
+    "(operators/similarity.py::lsh_topk_multiprobe).",
+    f"""
+    WITH w AS ({_DUCK_Q}),
+    bkt AS (SELECT vec_id, qv, n2, {_lsh_bucket_sql()} AS bucket FROM w),
+    probes AS (
+      SELECT vec_id, qv, n2,
+             unnest([bucket] || list_transform(range(0, 8),
+                                               p -> xor(bucket, CAST(1 AS BIGINT) << p))) AS bucket
+      FROM bkt WHERE vec_id < 10
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_DUCK_COS} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {_DUCK_COS} DESC, a.vec_id) AS rank
+      FROM bkt a JOIN probes b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk_multiprobe(emb, queries, k=5, num_planes=8)
+
+
 _IVF_DIST = (
     "list_sum(list_transform(range(1, len(v.qv) + 1), "
     "i -> (v.qv[i] - c.qv[i]) * (v.qv[i] - c.qv[i])))"

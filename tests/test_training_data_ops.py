@@ -326,3 +326,37 @@ def test_inverted_index_bounded_preview_and_checksum(spark):
     # checksum is order-independent: same value from a reshuffled frame
     out2 = {r.term: r for r in text.inverted_index(df.orderBy(F.desc("doc_id"))).collect()}
     assert out2["common"].posting_checksum == common.posting_checksum
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe's candidate set is a strict superset of single-probe's
+    (same home bucket + Hamming-1 probes), and top-k-by-exact-cosine
+    recall is monotone in the candidate set: any candidate that displaces
+    a true top-k member must itself score higher, hence be a true top-k
+    member. So recall(multiprobe) >= recall(singleprobe) must hold
+    exactly, not just on average."""
+    from etl_seattle_call_data_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(similarity.cosine_topk(emb, queries, k=5))
+    single = pairs(similarity.lsh_topk(emb, queries, k=5, num_planes=8))
+    multi = pairs(similarity.lsh_topk_multiprobe(emb, queries, k=5, num_planes=8))
+
+    assert len(multi & exact) >= len(single & exact)
+    # multi-probe must return at least as many results per query too
+    assert len(multi) >= len(single)
+
+
+def test_probe_list_is_home_plus_hamming1(spark):
+    df = spark.createDataFrame([(0b1010,)], ["bucket"])
+    probes = df.select(
+        similarity.lsh_probe_buckets("bucket", num_planes=4).alias("p")
+    ).collect()[0].p
+    assert probes[0] == 0b1010
+    assert set(probes[1:]) == {0b1011, 0b1000, 0b1110, 0b0010}
