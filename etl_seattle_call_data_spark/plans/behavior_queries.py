@@ -1,0 +1,209 @@
+"""Fifth-wave behavioral-analytics coverage: weekly cohort retention,
+stepwise funnel conversion, and SCD-2 validity-interval history — the
+three shapes every product-analytics / warehouse user reaches for that
+weren't yet first-class queries.
+
+Cross-engine rules from plans/queries.py apply. date_trunc('week')
+starts Monday on both engines; day arithmetic stays integral (datediff
+// 7), never through doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_seattle_call_data_spark.plans.queries import register
+from etl_seattle_call_data_spark.sources.registry import load_table
+
+
+@register(
+    "cohort_retention_weekly",
+    "Classic cohort retention: users grouped by first-activity week, "
+    "counted in each subsequent activity week (week_offset = whole "
+    "weeks since cohort). Two aggregations — per-user first week, then "
+    "distinct users per (cohort_week, week_offset); the per-user table "
+    "re-joins on user_id, partial-agg map-side both times. Retention "
+    "fraction divides two exact integer counts.",
+    """
+    WITH first_week AS (
+      SELECT user_id,
+             CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_trunc('week', e.ts) AS DATE) AS activity_week
+      FROM events e JOIN first_week f ON e.user_id = f.user_id
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM first_week GROUP BY cohort_week
+    )
+    SELECT a.cohort_week,
+           CAST(datediff('day', a.cohort_week, a.activity_week) // 7 AS INTEGER)
+             AS week_offset,
+           COUNT(*) AS n_active,
+           cs.cohort_size,
+           CAST(COUNT(*) AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE) AS retention
+    FROM activity a JOIN cohort_sizes cs ON a.cohort_week = cs.cohort_week
+    GROUP BY a.cohort_week, week_offset, cs.cohort_size
+    """,
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_week = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_week, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week"),
+        )
+        .distinct()
+    )
+    cohort_sizes = first_week.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    week_offset = (
+        F.floor(F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset")
+    )
+    return (
+        activity.join(F.broadcast(cohort_sizes), "cohort_week")
+        .groupBy("cohort_week", week_offset, "cohort_size")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    "Stepwise funnel with ORDER enforcement: first view, then the first "
+    "click AT OR AFTER that view, then the first purchase at or after "
+    "that click — a simple per-type min-ts misses the ordering and "
+    "overcounts. Three narrow per-user aggregates chained by joins on "
+    "user_id; each stage's table only shrinks. Emits one row per stage "
+    "with the surviving-user count and conversion from stage 1.",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS stage, 'view' AS stage_name, COUNT(*) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click_after_view', COUNT(*) FROM c
+      UNION ALL
+      SELECT 3, 'purchase_after_click', COUNT(*) FROM p
+    )
+    SELECT stage, stage_name, n_users,
+           CAST(n_users AS DOUBLE)
+             / CAST((SELECT n_users FROM counts WHERE stage = 1) AS DOUBLE)
+             AS conversion
+    FROM counts
+    """,
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("stage"), F.lit("view").alias("stage_name"), "n_users"
+        )
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage"),
+                F.lit("click_after_view").alias("stage_name"),
+                "n_users",
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage"),
+                F.lit("purchase_after_click").alias("stage_name"),
+                "n_users",
+            )
+        )
+    )
+    base = counts.filter(F.col("stage") == 1).select(
+        F.col("n_users").alias("base_users")
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "stage_name",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("base_users").cast("double")).alias(
+            "conversion"
+        ),
+    )
+
+
+@register(
+    "scd2_priority_history",
+    "SCD-2 validity intervals: each customer's order stream becomes "
+    "[valid_from, valid_to) state rows via lead() over (o_orderdate, "
+    "o_orderkey) — open interval (NULL valid_to) marks the current "
+    "state. One shuffle on o_custkey, streaming window, no self-join "
+    "— the standard warehouse dimension-history build.",
+    """
+    SELECT o_custkey, o_orderkey,
+           o_orderpriority AS state,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to
+    FROM orders
+    """,
+)
+def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("state"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )

@@ -547,5 +547,6 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_seattle_call_data_spark.plans import analytics_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import docs_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import extended_queries  # noqa: E402,F401
+from etl_seattle_call_data_spark.plans import behavior_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import mlprep_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import tpch_queries  # noqa: E402,F401
