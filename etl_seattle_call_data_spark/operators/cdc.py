@@ -90,3 +90,30 @@ def upsert_snapshot(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def merge_partial_aggs(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for algebraic
+    aggregates: ``base`` (the stored agg table) and ``delta`` (the agg
+    of only the new rows) merge by re-summing per key — valid because
+    SUM and COUNT are commutative monoids, so agg(full) ≡
+    merge(agg(old), agg(new)) exactly (decimal sums keep it exact even
+    for money columns).
+
+    This is the O(|delta| + |affected keys|) refresh path that replaces
+    an O(|table|) recompute when a day of data lands in a 100 TB fact:
+    only the delta is scanned; the merge shuffles the two (small) agg
+    tables, never the facts. Averages and other derived ratios must be
+    re-derived from the merged sums/counts — never merged directly.
+    """
+    both = base.unionByName(delta)
+    return both.groupBy(*keys).agg(
+        F.sum(count_col).alias(count_col),
+        *[F.sum(c).alias(c) for c in sum_cols],
+    )

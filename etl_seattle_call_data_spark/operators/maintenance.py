@@ -92,3 +92,70 @@ def cluster_parquet(
     clustered.write.mode("overwrite").parquet(tmp)
     _heal_and_swap(spark, path, tmp)
     return len([f for f in os.listdir(path) if f.startswith("part-")])
+
+
+def _zvalue(bucket_cols: list, bits: int) -> "F.Column":  # noqa: F821
+    """Bit-interleaved Z-value of pre-bucketed int columns (bucket ids in
+    [0, 2^bits)): column j contributes its i-th bit at interleaved
+    position i·ncols + j. Pure shift/mask Catalyst expressions — stays in
+    whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    ncols = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(bucket_cols):
+        for i in range(bits):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * ncols + j)
+    return z
+
+
+def zorder_cluster(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    bits: int = 6,
+) -> int:
+    """Rewrite a parquet directory Z-ORDERED on several columns — the
+    multi-column analog of ``cluster_parquet``: linear clustering makes
+    row-group min/max stats tight for ONE key; interleaving the quantile
+    buckets of k keys keeps every key's per-file range narrow at once,
+    so predicates on ANY clustered column skip most row groups.
+
+    Bucketing uses approxQuantile boundaries collected driver-side — a
+    (2^bits − 1)-value codebook per column, same legitimate-tiny-collect
+    class as the IVF centroids; rows then bucket via a broadcast-literal
+    boundary array (O(2^bits) comparisons per row, JVM-side). The
+    rewrite itself is one repartitionByRange on the z-value plus a local
+    sort — fully distributed, no driver data movement.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if n_files is None:
+        n_files = max(1, spark.sparkContext.defaultParallelism)
+    nb = (1 << bits) - 1
+    qs = [i / (nb + 1) for i in range(1, nb + 1)]
+    bucket_cols = []
+    for col in cluster_by:
+        bounds = df.stat.approxQuantile(col, qs, 0.01)
+        arr = F.lit([float(b) for b in bounds]).cast("array<double>")
+        bucket_cols.append(
+            F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
+            )
+        )
+    zed = df.withColumn("__z", _zvalue(bucket_cols, bits))
+    clustered = (
+        zed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    tmp = path.rstrip("/") + "__zordering"
+    clustered.write.mode("overwrite").parquet(tmp)
+    _heal_and_swap(spark, path, tmp)
+    return len([f for f in os.listdir(path) if f.startswith("part-")])

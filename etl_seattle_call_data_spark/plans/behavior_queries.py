@@ -207,3 +207,51 @@ def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("valid_from"),
         F.lead("o_orderdate").over(w).alias("valid_to"),
     )
+
+
+@register(
+    "incremental_mv_daily_revenue",
+    "Incremental materialized-view maintenance: the daily per-type "
+    "event rollup is maintained as merge(agg(base), agg(delta)) — "
+    "SUM/COUNT are commutative monoids so the merged table equals the "
+    "full recompute EXACTLY (decimal sums), which is precisely what the "
+    "oracle asserts by computing the full agg directly. At scale this "
+    "is the O(delta) refresh path: only new facts are scanned, the "
+    "merge shuffles two small agg tables, and ratios (avg) re-derive "
+    "from merged components (operators/cdc.py::merge_partial_aggs).",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_value
+    FROM events
+    GROUP BY event_type, day
+    """,
+)
+def q_incremental_mv_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import cdc
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    dec = F.col("value").cast("decimal(18,6)")
+
+    def agg(part: DataFrame) -> DataFrame:
+        return part.groupBy("event_type", day).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(dec).alias("sum_dec")
+        )
+
+    base = agg(ev.filter(F.col("ts") < cutoff))
+    delta = agg(ev.filter(F.col("ts") >= cutoff))
+    merged = cdc.merge_partial_aggs(
+        base, delta, keys=["event_type", "day"], sum_cols=["sum_dec"]
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        (F.col("sum_dec").cast("double") / F.col("n").cast("double")).alias("avg_value"),
+    )

@@ -142,3 +142,24 @@ def test_range_join_pre_epoch_timestamps(spark):
         lower_offset_s=-60, upper_offset_s=0, left_id="id",
     )
     assert out.collect()[0].n_matches == 1  # 23:59:00 in [−60s, 0s), 23:58:00 out
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    """merge(agg(base), agg(delta)) must equal agg(full) exactly —
+    including keys present in only one side."""
+    from etl_seattle_call_data_spark.operators import cdc
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1), ("a", 2), ("b", 3), ("c", 5)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    base_rows = df.filter(F.col("v") <= 2)   # only 'a'
+    delta_rows = df.filter(F.col("v") > 2)   # 'b' and 'c' are delta-only
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+
+    merged = cdc.merge_partial_aggs(agg(base_rows), agg(delta_rows), ["k"], ["sv"])
+    full = agg(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
