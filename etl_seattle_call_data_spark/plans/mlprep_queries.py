@@ -258,3 +258,41 @@ def q_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("std") > 0.0) & (F.abs(z) > 3.0))
         .select("event_id", "event_type", "value", z.alias("zscore"))
     )
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    "Entity-resolution fuzzy join: distinct part names pair within a "
+    "first-token block and keep levenshtein <= 3 — the blocked edit-"
+    "distance join that resolves near-identical entity names without "
+    "an all-pairs cross join. Candidates scale with block sizes "
+    "(bounded by the name vocabulary), never corpus²; both engines "
+    "implement classic unweighted Levenshtein so the distance column "
+    "is integer-exact.",
+    """
+    WITH names AS (
+      SELECT DISTINCT p_name,
+             string_split(p_name, ' ')[1] AS blk
+      FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(
+        "p_name", F.split(F.col("p_name"), " ").getItem(0).alias("blk")
+    ).distinct()
+    a = names.select(F.col("p_name").alias("name_a"), F.col("blk"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("blk"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 3)
+        .select("name_a", "name_b", dist.cast("int").alias("edit_dist"))
+    )
