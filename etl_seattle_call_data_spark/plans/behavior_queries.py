@@ -255,3 +255,110 @@ def q_incremental_mv_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("sum_dec").cast("double").alias("sum_value"),
         (F.col("sum_dec").cast("double") / F.col("n").cast("double")).alias("avg_value"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    "First-order Markov transitions: per user, each event's type paired "
+    "with the NEXT event's type (lag/lead over (ts, event_id) — the "
+    "unique id breaks timestamp ties deterministically), counted into "
+    "the transition matrix with row-normalized probabilities. One "
+    "shuffle for the window, one for the tiny 5×5 count table; "
+    "probabilities divide exact integer counts.",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM counts
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / row_total.cast("double")).alias("p"),
+    )
+
+
+@register(
+    "twap_user_value",
+    "Time-weighted average value per user: each event's value holds "
+    "until the next event (lead over (ts, event_id)); TWAP = "
+    "Σ(v·holding_seconds)/Σ(holding_seconds). Exactness: v quantizes "
+    "to 1e-6 longs and the weighted sum accumulates in DECIMAL(38,0) — "
+    "exact integer arithmetic, one double division at the end. The "
+    "final (open-ended) event carries zero weight.",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS qv,
+             CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT) AS hold_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    agg AS (
+      SELECT user_id,
+             COUNT(*) AS n_holds,
+             CAST(SUM(hold_us) AS BIGINT) AS total_us,
+             SUM(CAST(qv AS HUGEINT) * CAST(hold_us AS HUGEINT)) AS wsum
+      FROM seq WHERE hold_us IS NOT NULL AND hold_us > 0
+      GROUP BY user_id
+    )
+    -- exact quotient+remainder: wsum is ~1e20, past DOUBLE's 2^53 —
+    -- and DuckDB's HUGEINT→DOUBLE conversion double-rounds while
+    -- Spark's BigDecimal→double is correctly rounded (1-ulp drift).
+    -- q <= 1e9 and rem < total_us < 2^53 convert EXACTLY on both.
+    SELECT user_id, n_holds, total_us,
+           (CAST(CAST(wsum // total_us AS BIGINT) AS DOUBLE)
+            + CAST(CAST(wsum % total_us AS BIGINT) AS DOUBLE)
+              / CAST(total_us AS DOUBLE)) / 1000000.0 AS twap
+    FROM agg
+    """,
+)
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    qv = F.round(F.col("value") * 1000000.0).cast("long")
+    hold_us = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).cast("long")
+    seq = ev.select(
+        "user_id", qv.alias("qv"), hold_us.alias("hold_us")
+    ).filter(F.col("hold_us").isNotNull() & (F.col("hold_us") > 0))
+    agg = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_holds"),
+        F.sum("hold_us").cast("bigint").alias("total_us"),
+        F.sum(
+            F.col("qv").cast("decimal(38,0)") * F.col("hold_us").cast("decimal(38,0)")
+        ).alias("wsum"),
+    )
+    quot = F.expr("CAST(wsum DIV total_us AS BIGINT)").cast("double")
+    rem = F.expr("CAST(wsum % total_us AS BIGINT)").cast("double")
+    return agg.select(
+        "user_id",
+        "n_holds",
+        "total_us",
+        ((quot + rem / F.col("total_us").cast("double")) / F.lit(1000000.0)).alias(
+            "twap"
+        ),
+    )
