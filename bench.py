@@ -1,6 +1,9 @@
 """Benchmark harness: runs every registered engine query at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
-line with per-query wall-clock seconds.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), writes per-query
+wall-clock seconds to BENCH_DETAIL.json, and prints ONE COMPACT JSON
+line (total + headline queries only) as the final stdout line — the
+driver captures only the last ~2000 chars of stdout, so the full
+110-query dict lives in the file, not the line.
 
 Timing includes plan + execution (count() action) but not session startup.
 """
@@ -43,14 +46,45 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+
+    # Full per-query detail goes to a file (stable across rounds, diffable);
+    # the stdout line stays compact so the driver's tail capture parses it.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n": len(timings),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    headline = [
+        "events_by_type",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q21_sole_failing_supplier",
+        "star_join_region_revenue",
+        "dedup_minhash_lsh",
+        "similarity_topk_lsh",
+        "ngram_top_bigrams",
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: timings[k] for k in headline if k in timings},
+                "sf": sf,
+                "n": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

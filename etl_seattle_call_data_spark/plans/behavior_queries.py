@@ -29,12 +29,12 @@ from etl_seattle_call_data_spark.sources.registry import load_table
     """
     WITH first_week AS (
       SELECT user_id,
-             CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+             CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
       FROM events GROUP BY user_id
     ),
     activity AS (
       SELECT DISTINCT e.user_id, f.cohort_week,
-             CAST(date_trunc('week', e.ts) AS DATE) AS activity_week
+             CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS activity_week
       FROM events e JOIN first_week f ON e.user_id = f.user_id
     ),
     cohort_sizes AS (
@@ -54,14 +54,14 @@ from etl_seattle_call_data_spark.sources.registry import load_table
 def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     first_week = ev.groupBy("user_id").agg(
-        F.min(F.date_trunc("week", F.col("ts"))).cast("date").alias("cohort_week")
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
     )
     activity = (
         ev.join(first_week, "user_id")
         .select(
             "user_id",
             "cohort_week",
-            F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week"),
+            F.date_trunc("week", F.col("ts")).alias("activity_week"),
         )
         .distinct()
     )
@@ -185,15 +185,17 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_priority_history",
     "SCD-2 validity intervals: each customer's order stream becomes "
     "[valid_from, valid_to) state rows via lead() over (o_orderdate, "
-    "o_orderkey) — open interval (NULL valid_to) marks the current "
-    "state. One shuffle on o_custkey, streaming window, no self-join "
+    "o_orderkey) — the open interval carries the standard sentinel "
+    "high date 9999-12-31 so current-state rows stay range-filterable. "
+    "One shuffle on o_custkey, streaming window, no self-join "
     "— the standard warehouse dimension-history build.",
     """
     SELECT o_custkey, o_orderkey,
            o_orderpriority AS state,
            o_orderdate AS valid_from,
-           lead(o_orderdate) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey) AS valid_to
+           COALESCE(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                    TIMESTAMP '9999-12-31') AS valid_to
     FROM orders
     """,
 )
@@ -205,7 +207,10 @@ def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_orderpriority").alias("state"),
         F.col("o_orderdate").alias("valid_from"),
-        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("9999-12-31").cast("timestamp"),
+        ).alias("valid_to"),
     )
 
 
@@ -221,7 +226,7 @@ def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from merged components (operators/cdc.py::merge_partial_aggs).",
     """
     SELECT event_type,
-           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
@@ -235,7 +240,7 @@ def q_incremental_mv_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 
     ev = load_table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-20").cast("timestamp")
-    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
     dec = F.col("value").cast("decimal(18,6)")
 
     def agg(part: DataFrame) -> DataFrame:

@@ -105,7 +105,8 @@ _VOCAB_SIZE = 100
     )
     SELECT source,
            COUNT(*) AS total_tokens,
-           SUM(CASE WHEN vocab.tok IS NOT NULL THEN 1 ELSE 0 END) AS covered_tokens,
+           CAST(SUM(CASE WHEN vocab.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
            CAST(SUM(CASE WHEN vocab.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS coverage
     FROM tok LEFT JOIN vocab USING (tok)
