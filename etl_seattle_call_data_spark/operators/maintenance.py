@@ -24,20 +24,31 @@ from pyspark.sql import SparkSession
 
 
 
-def _heal_and_swap(spark: SparkSession, path: str, tmp: str) -> None:
-    """Publish ``tmp`` as ``path`` via rename-swap, healing leftovers of
-    a previous crashed swap first: a stale ``__old`` beside a live
-    ``path`` is deleted; a stale ``__old`` with ``path`` missing (crash
-    between the two renames) is restored before swapping. Finishes with
-    ``refreshByPath`` so Spark's cached file listings/data for the old
-    files are invalidated (in-place rewrites otherwise serve stale
-    cached scans)."""
+def heal(path: str) -> None:
+    """Recover ``path`` from a rewrite killed mid-publish. The swap is
+    two renames (``path``→``path__old``, ``tmp``→``path``) plus a
+    cleanup; a kill can leave (a) ``__old`` present with ``path``
+    missing (died between the renames — restore the original) or (b)
+    ``__old`` beside a live ``path`` (died after the swap, before
+    cleanup — the rewrite SUCCEEDED, drop the leftover). Called at the
+    top of every maintenance rewrite so a retry after a crash sees a
+    readable table again — the swap itself also heals, but that runs
+    only after the input read, which needs ``path`` to exist."""
     old = path.rstrip("/") + "__old"
     if os.path.exists(old):
         if os.path.exists(path):
             shutil.rmtree(old)  # prior run crashed after swap, before cleanup
         else:
             os.rename(old, path)  # prior run crashed mid-swap: restore
+
+
+def _heal_and_swap(spark: SparkSession, path: str, tmp: str) -> None:
+    """Publish ``tmp`` as ``path`` via rename-swap (healing leftovers of
+    a previous crashed swap first). Finishes with ``refreshByPath`` so
+    Spark's cached file listings/data for the old files are invalidated
+    (in-place rewrites otherwise serve stale cached scans)."""
+    heal(path)
+    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -51,6 +62,7 @@ def compact_parquet(
 ) -> int:
     """Compact the parquet directory at ``path`` to ceil(total_bytes /
     target_file_bytes) files. Returns the new file count."""
+    heal(path)
     df = spark.read.parquet(path)
     files = [f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()]
     total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
@@ -84,6 +96,7 @@ def cluster_parquet(
     (one pass + one shuffle, fully distributed); sortWithinPartitions is
     a per-partition local sort with no extra shuffle. Returns the new
     file count."""
+    heal(path)
     df = spark.read.parquet(path)
     if n_files is None:
         n_files = max(1, df.rdd.getNumPartitions())
@@ -132,6 +145,7 @@ def zorder_cluster(
     """
     from pyspark.sql import functions as F
 
+    heal(path)
     df = spark.read.parquet(path)
     if n_files is None:
         n_files = max(1, spark.sparkContext.defaultParallelism)

@@ -46,7 +46,17 @@ def cache_swap(key: str, df: DataFrame):
     writer) invalidates that premise — those paths call
     ``refreshByPath``, but a semantically-identical cache_swap entry
     built pre-rewrite would still serve old data; call ``clear_caches()``
-    after rewriting a table an operator has cached."""
+    after rewriting a table an operator has cached.
+
+    Multi-tenant caveat: the key registry is process-global, keyed by
+    operator-chosen strings. Two tenants of one long-lived session using
+    the same key alternately defeat the reuse (each call evicts the
+    other's entry — correct, just cold); worse, an operator that bakes
+    NO distinguishing input into its key could be served a same-key
+    sibling's cache only if the plans are ``sameSemantics`` — i.e. the
+    same computation — so correctness holds, but key hygiene (prefix
+    keys with the operator + input identity, as dedup/similarity do)
+    is what keeps hit rates honest in shared sessions."""
     from pyspark.storagelevel import StorageLevel
 
     old = _last_cached.get(key)

@@ -264,3 +264,45 @@ def test_salted_join_rejects_dim_preserving_joins(spark):
     # left-anti remains supported and correct
     out = joins.salted_join(d, f.select("k"), on=["k"], salt_by="w", how="left_anti")
     assert [r.k for r in out.collect()] == [2]
+
+
+def test_compact_recovers_from_kill_between_renames(spark, tmp_path):
+    """Simulate a compaction killed BETWEEN the two publish renames:
+    ``path`` gone, ``path__old`` holds the data, the new tmp dir is
+    half-published. A retry must heal (restore path from __old), then
+    complete normally with no data loss."""
+    import os
+    import shutil
+
+    from etl_seattle_call_data_spark.operators import maintenance
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 5000).repartition(10).write.parquet(path)
+
+    # crash state: first rename done, second never happened
+    os.rename(path, path + "__old")
+    shutil.copytree(path + "__old", path + "__compacting")  # stale tmp
+
+    after = maintenance.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert after == 1
+    assert spark.read.parquet(path).count() == 5000
+    assert not os.path.exists(path + "__old")
+
+
+def test_compact_recovers_from_kill_before_cleanup(spark, tmp_path):
+    """Simulate a compaction killed AFTER the swap but before the old
+    directory was removed: both ``path`` (new data) and ``path__old``
+    exist. The retry must drop the leftover and not resurrect old data."""
+    import os
+
+    from etl_seattle_call_data_spark.operators import maintenance
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 5000).write.parquet(path)
+    # crash state: swap succeeded, cleanup didn't — __old holds STALE data
+    spark.range(0, 123).write.parquet(path + "__old")
+
+    after = maintenance.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert after == 1
+    assert spark.read.parquet(path).count() == 5000  # new data survived
+    assert not os.path.exists(path + "__old")

@@ -609,3 +609,81 @@ def test_http_feeder_publishes_pages(tmp_path):
         assert len(recs) == 5 and all("processed_at" in r for r in recs)
     finally:
         srv.shutdown()
+
+
+def test_end_to_end_poll_stream_upsert_serve(spark, tmp_path):
+    """The reference's FULL streaming loop in one test (reference
+    producer.py:7-52 + consumer_cassandra.py:228-275): an HTTP endpoint
+    is polled on a cadence by the feeder, each poll lands as one
+    micro-batch file, the stream cleans + stamps + upserts into the
+    keyed sink, the sink survives a consumer restart (same checkpoint),
+    and the serving query (group-by-count, A3) reads the upserted state
+    — including a key updated across polls counting exactly once."""
+    import http.server
+    import threading
+
+    from etl_seattle_call_data_spark.streaming.feeder import (
+        FileStreamFeeder,
+        HttpJsonSource,
+    )
+
+    pages = [
+        [_record("A", "1", "10s", "x"), _record("B", "1", "20s", "x")],
+        [_record("C", "2", "30s", "x"), _record("A", "7", "99s", "x")],  # A updated
+        [],
+    ]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            off = int(q.get("$offset", ["0"])[0]) // 2
+            body = json.dumps(pages[min(off, len(pages) - 1)]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src_dir, store, ckpt = (str(tmp_path / d) for d in ("in", "store", "ckpt"))
+        feeder = FileStreamFeeder(
+            src_dir,
+            HttpJsonSource(f"http://127.0.0.1:{srv.server_address[1]}/", limit=2),
+        )
+        sink = KeyedUpsertSink(store, key="cad_event_number", order_col="processed_at")
+
+        # poll 1 while the consumer runs
+        published = feeder.run(interval_s=0.0, max_polls=1, sleep=lambda s: None)
+        assert len(published) == 1
+        q = run_upsert_stream(file_json_stream(spark, src_dir, STREAM_SCHEMA), sink, ckpt)
+        q.processAllAvailable()
+        assert {r.cad_event_number for r in sink.read(spark).collect()} == {"A", "B"}
+        q.stop()
+
+        # consumer down; producer keeps polling (update to A arrives)
+        time.sleep(1.1)  # second-resolution processed_at must advance
+        feeder.run(interval_s=0.0, max_polls=2, sleep=lambda s: None)
+
+        # restart from the SAME checkpoint: only the new file processes
+        q = run_upsert_stream(file_json_stream(spark, src_dir, STREAM_SCHEMA), sink, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+        state = sink.read(spark)
+        rows = {r.cad_event_number: r for r in state.collect()}
+        assert set(rows) == {"A", "B", "C"}
+        assert rows["A"].priority == "7"  # the later poll won
+        assert rows["A"].call_sign_response_time_s_ == 99  # cleaned to int
+
+        # serving query over the upserted state (reference's group-by-count):
+        # the updated key A counts ONCE, under its latest priority
+        served = dict(state.groupBy("priority").count().collect())
+        assert served == {"1": 1, "2": 1, "7": 1}, served
+    finally:
+        srv.shutdown()
