@@ -117,3 +117,36 @@ def merge_partial_aggs(
         F.sum(count_col).alias(count_col),
         *[F.sum(c).alias(c) for c in sum_cols],
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Batch CDC MERGE (the Delta/Iceberg ``MERGE INTO ... WHEN MATCHED
+    [AND op='D'] DELETE / UPDATE / INSERT`` shape, engine-portable):
+    fold an insert/update/delete change stream into ``base``, keeping
+    each key's LATEST change by ``seq_cols`` (must order totally within
+    a key — include a unique column). A latest-change delete removes the
+    key; otherwise the latest change row replaces the base row (or
+    inserts a new key). Base rows for untouched keys pass through.
+
+    Scale: one window shuffle over the (delta-sized) change stream, one
+    left-anti join of base against the touched keys — base is never
+    shuffled beyond the join, and at warehouse scale the touched-key
+    side is the small one (broadcastable by AQE)."""
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in seq_cols])
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = base.join(latest.select(key), key, "left_anti")
+    # Result schema = base schema: change-stream metadata (op, extra seq
+    # columns) is not state and must not leak into the merged table.
+    applied = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    return untouched.unionByName(applied)

@@ -432,3 +432,103 @@ def lsh_topk_multiprobe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def sign_cell(vec_col, n_bits: int = 4, scale: int = QUANT_SCALE):
+    """Deterministic cluster cell from the sign bits of the first
+    ``n_bits`` quantized dimensions — the axis-aligned special case of
+    sign-random-projection LSH (hyperplanes = unit axes, so the bucket
+    is SQL-expressible on any engine without shipping weights). Used as
+    the blocking key for semantic dedup: 2^n_bits cells partition the
+    corpus so the near-dup join is an equi-join."""
+    q = quantize(vec_col, scale)
+    cell = F.lit(0)
+    for p in range(n_bits):
+        cell = cell + F.when(q.getItem(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return cell.cast("int")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int = 8,
+) -> DataFrame:
+    """SemDeDup-style one-pass semantic deduplication: documents whose
+    embeddings are near-identical (cosine ≥ threshold) within a cluster
+    cell are collapsed to the lowest-id representative; every doc with a
+    LOWER-id in-cell neighbor above threshold is marked dropped.
+
+    One-pass greedy (the common SemDeDup practice): the keep decision
+    looks only at pairwise similarity, not at transitive chains — a doc
+    similar only to an already-dropped doc still drops, which
+    over-prunes slightly versus connected-components (available as
+    dedup_clusters) but needs no iteration.
+
+    Scale: candidate generation is the salted in-cell equi-join of
+    cosine_pairs (never all-pairs); the keep flag is one left join of
+    the id set against the distinct dropped ids."""
+    cells = df.withColumn("cell", sign_cell(vec_col, n_bits))
+    pairs = cosine_pairs(
+        cells, threshold, block_col="cell", id_col=id_col, vec_col=vec_col, salt=salt
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "__dropped", F.lit(1)
+    )
+    return (
+        cells.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(id_col, "cell", F.col("__dropped").isNull().alias("kept"))
+    )
+
+
+def scalar_quantize_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-corpus scalar quantization (the int8 compression step of a
+    vector index build): each dimension's [min, max] over the corpus
+    maps values to integer codes floor((x-mn)/(mx-mn)·levels), clamped
+    to [0, levels]. Returns per-vector parity evidence — the exact
+    integer code sum and the max absolute reconstruction error — rather
+    than reassembled arrays (order-free aggregates hash identically
+    cross-engine; ``floor`` avoids round-half rule divergence).
+
+    Scale: posexplode fans the corpus ×dims once; the per-dim stats
+    table is dims-sized and broadcasts back; codes re-aggregate per
+    vector. No driver-side state, no collect."""
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = exploded.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    coded = (
+        exploded.join(F.broadcast(stats), "dim")
+        .withColumn(
+            "code",
+            F.least(
+                F.greatest(
+                    F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * levels),
+                    F.lit(0),
+                ),
+                F.lit(levels),
+            ).cast("long"),
+        )
+        .withColumn(
+            "err",
+            F.abs(
+                F.col("x")
+                - (F.col("mn") + F.col("code").cast("double") / levels * (F.col("mx") - F.col("mn")))
+            ),
+        )
+    )
+    return coded.groupBy(id_col).agg(
+        F.sum("code").alias("code_sum"),
+        F.max("err").alias("max_abs_err"),
+    )

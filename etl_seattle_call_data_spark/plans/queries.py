@@ -550,3 +550,4 @@ from etl_seattle_call_data_spark.plans import extended_queries  # noqa: E402,F40
 from etl_seattle_call_data_spark.plans import behavior_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import mlprep_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import tpch_queries  # noqa: E402,F401
+from etl_seattle_call_data_spark.plans import scale_queries  # noqa: E402,F401

@@ -1,0 +1,338 @@
+"""Round-3 wave: warehouse CDC, built-in session windows, semantic
+dedup, scalar quantization, Gopher-style quality filtering, and the
+skew-resistant exact-distinct shape.
+
+Cross-engine rules as plans/queries.py: exact integer/decimal math until
+one final IEEE op; ``floor`` instead of ``round`` where a half-way rule
+could diverge; every computed column aliased identically on both sides.
+
+Scale notes per query in the docstrings — the shared theme: every new
+operator is one equi-join or one window shuffle over the delta/corpus,
+never an all-pairs product or a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_seattle_call_data_spark.operators import cdc, similarity, text
+from etl_seattle_call_data_spark.plans.queries import register
+from etl_seattle_call_data_spark.sources.registry import load_table
+
+_DEC = "decimal(18,6)"
+
+# ---------------------------------------------------------------------------
+# CDC MERGE (insert/update/delete application)
+
+
+@register(
+    "cdc_apply_changes",
+    "Batch CDC MERGE: the per-customer state table as of 1999-01-01 "
+    "(latest order priority) has the post-cutoff order stream applied "
+    "as a change feed — status-F orders are deletes, others upserts, "
+    "latest change per key wins by (date, orderkey). Exercises the "
+    "MERGE INTO WHEN MATCHED DELETE/UPDATE/INSERT shape via "
+    "operators/cdc.py::apply_changes: one window over the delta, one "
+    "anti-join against touched keys; the base is never re-shuffled.",
+    """
+    WITH pre AS (
+      SELECT o_custkey, o_orderpriority AS state, o_orderdate AS updated_at,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ),
+    base AS (SELECT o_custkey, state, updated_at FROM pre WHERE rn = 1),
+    chg AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_orderpriority AS state, o_orderdate AS updated_at,
+             o_orderkey
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY updated_at DESC, o_orderkey DESC) AS rn
+        FROM chg
+      ) WHERE rn = 1
+    )
+    SELECT o_custkey, state, updated_at
+    FROM base WHERE o_custkey NOT IN (SELECT o_custkey FROM latest)
+    UNION ALL
+    SELECT o_custkey, state, updated_at FROM latest WHERE op <> 'D'
+    """,
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    base = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("state"),
+            F.col("o_orderdate").alias("updated_at"),
+        )
+    )
+    changes = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("o_orderpriority").alias("state"),
+        F.col("o_orderdate").alias("updated_at"),
+        "o_orderkey",
+    )
+    return cdc.apply_changes(
+        base, changes, key="o_custkey", seq_cols=["updated_at", "o_orderkey"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session windows (F.session_window) vs the gaps-and-islands oracle
+
+
+@register(
+    "session_window_counts",
+    "Spark's BUILT-IN session_window operator (30-minute inactivity "
+    "gap) — the batch face of the streaming session aggregation; the "
+    "oracle proves it equals the classic gaps-and-islands SQL "
+    "(lag → new-session flag → running sum → group). session_start is "
+    "the first event, session_end = last event + gap (Spark's window "
+    "end), value summed in DECIMAL. One shuffle on user_id either way; "
+    "session_window does it without a window function pass.",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM islands
+    GROUP BY user_id, sid
+    """,
+)
+def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).alias("sum_dec"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            F.col("sum_dec").cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resistant exact distinct (two-phase aggregation)
+
+
+@register(
+    "distinct_users_two_phase",
+    "Exact COUNT(DISTINCT) written as the two-phase aggregation that "
+    "survives key skew at 100 TB: phase 1 collapses (event_type, "
+    "user_id) — partial-aggregated map-side, so a hot event_type "
+    "arrives at the shuffle already deduplicated per mapper; phase 2 "
+    "counts the collapsed pairs. No Expand operator, no single-reducer "
+    "hot key carrying every distinct value.",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_users_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup one-pass, sign-cell blocked)
+
+
+@register(
+    "dedup_semantic",
+    "SemDeDup-style semantic dedup over embeddings: docs are blocked "
+    "into 16 deterministic cells (sign bits of the first 4 quantized "
+    "dims — axis-aligned LSH, so the oracle can recompute it in SQL), "
+    "and any doc with a LOWER-id in-cell neighbor at cosine ≥ 0.35 is "
+    "dropped in favour of that representative. Integer-quantized "
+    "cosine (exact cross-engine); the candidate join is the salted "
+    "in-cell equi-join — never all-pairs.",
+    """
+    WITH w AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(range(1, 5),
+                  p -> CASE WHEN qv[p] > 0 THEN CAST(2 ** (p - 1) AS BIGINT)
+                            ELSE 0 END)) AS INTEGER) AS cell,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+      FROM w
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                 i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+            / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.35
+    )
+    SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.35, n_bits=4)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8 vector-index compression)
+
+
+@register(
+    "embedding_scalar_quantize",
+    "Vector-index scalar quantization: per-dimension [min,max] over the "
+    "corpus maps every value to an integer code floor((x-mn)/(mx-mn)"
+    "·255) clamped to [0,255]; parity evidence per vector is the exact "
+    "integer code sum plus the max absolute reconstruction error "
+    "(order-free aggregates; floor sidesteps round-half divergence). "
+    "Scale: one posexplode (×dims), a dims-sized stats broadcast, one "
+    "re-aggregation — no collect, no driver state.",
+    """
+    WITH x AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    stats AS (
+      SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY dim
+    ),
+    coded AS (
+      SELECT vec_id, x.x, mn, mx,
+             LEAST(GREATEST(CAST(floor((x.x - mn) / (mx - mn) * 255) AS BIGINT),
+                            0), 255) AS code
+      FROM x JOIN stats USING (dim)
+    )
+    SELECT vec_id,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           MAX(abs(x - (mn + CAST(code AS DOUBLE) / 255 * (mx - mn)))) AS max_abs_err
+    FROM coded
+    GROUP BY vec_id
+    """,
+)
+def q_embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.scalar_quantize_stats(emb)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality filter
+
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that")
+
+
+@register(
+    "corpus_gopher_filter",
+    "Gopher-rule quality gate over documents (the pre-training corpus "
+    "filter family): word count in [5, 100000], mean word length in "
+    "[2, 12], ≥80% of words contain an alphabetic character, and ≥2 "
+    "stopword hits. All counts are exact integers; each ratio is ONE "
+    "IEEE division of identical inputs — bit-stable cross-engine. Pure "
+    "Catalyst expressions over the token array (no UDF, no shuffle "
+    "until the caller aggregates).",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+                  AS BIGINT) AS char_sum,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(toks,
+                  t -> list_contains({list(_STOPWORDS)}, lower(t)))) AS BIGINT)
+               AS n_stopwords
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_alpha,
+           n_stopwords,
+           (n_words BETWEEN 5 AND 100000
+            AND CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE)
+                  BETWEEN 2.0 AND 12.0
+            AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+            AND n_stopwords >= 2) AS keep
+    FROM m
+    """,
+)
+def q_corpus_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("char_sum"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("long").alias("n_alpha"),
+        F.size(
+            F.filter(toks, lambda t: F.lower(t).isin(*_STOPWORDS))
+        ).cast("long").alias("n_stopwords"),
+    )
+    mean_len = F.col("char_sum").cast("double") / F.col("n_words").cast("double")
+    frac_alpha = F.col("n_alpha").cast("double") / F.col("n_words").cast("double")
+    return m.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        "n_stopwords",
+        (
+            F.col("n_words").between(5, 100000)
+            & mean_len.between(2.0, 12.0)
+            & (frac_alpha >= 0.8)
+            & (F.col("n_stopwords") >= 2)
+        ).alias("keep"),
+    )

@@ -378,3 +378,115 @@ def q_q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q9_product_type_profit",
+    "TPC-H-Q9 shape (adapted: the testdata has no partsupp, so unit "
+    "cost is p_retailprice — the join graph, LIKE-filtered part dim, "
+    "and nation×year profit rollup are preserved). All arithmetic in "
+    "DECIMAL until the final DOUBLE cast: (18,2)×(19,2) products stay "
+    "exact at scale 4 on both engines, so the sums hash identically. "
+    "supplier+nation broadcast (fixed-size dims); part joins unhinted "
+    "(scales with SF); the one shuffle aggregates (nation, year).",
+    """
+    WITH profit AS (
+      SELECT sn.n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               - CAST(p_retailprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+    )
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM profit GROUP BY nation, o_year
+    """,
+)
+def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    amount = _revenue() - F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q20_dominant_part_suppliers",
+    "TPC-H-Q20 shape (adapted: no partsupp availqty, so 'has excess "
+    "stock' becomes 'shipped more than 10% of the part's total' — the "
+    "nested aggregate-within-semi-join structure is intact: an inner "
+    "per-(supplier,part) aggregate compared against a per-part scalar "
+    "aggregate, the qualifiers feeding an IN-subquery on supplier, "
+    "itself filtered to two nations via a broadcast dim). The shipped "
+    "totals reuse ONE aggregation (part totals re-aggregate the "
+    "(supp,part) rollup, not lineitem) and the 10% threshold compares "
+    "two DOUBLEs derived from exact DECIMAL sums — cross-engine-stable. "
+    "At scale: lineitem shuffles once on (suppkey,partkey); everything "
+    "downstream is dim-sized.",
+    """
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem JOIN red_parts ON p_partkey = l_partkey
+      GROUP BY l_suppkey, l_partkey
+    ),
+    part_total AS (
+      SELECT l_partkey AS tp, SUM(qty) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM shipped JOIN part_total ON l_partkey = tp
+        WHERE CAST(qty AS DOUBLE) > 0.1 * CAST(total_qty AS DOUBLE)
+      )
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_3', 'NATION_7')
+      )
+    """,
+)
+def q_q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    shipped = (
+        li.join(p.select("p_partkey"), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty"))
+    )
+    part_total = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty")).withColumnRenamed("l_partkey", "tp")
+    dominant = (
+        shipped.join(part_total, F.col("l_partkey") == F.col("tp"))
+        .filter(F.col("qty").cast("double") > F.lit(0.1) * F.col("total_qty").cast("double"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"), "left_semi")
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
