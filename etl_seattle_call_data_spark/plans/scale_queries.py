@@ -336,3 +336,43 @@ def q_corpus_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stopwords") >= 2)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-row-per-key WITHOUT a window sort (max_by / arg_max aggregation)
+
+
+@register(
+    "latest_order_maxby",
+    "Latest order per customer via max_by aggregation instead of a "
+    "row_number window: one hash aggregate with map-side partials — no "
+    "per-partition SORT of the whole fact table, which is the window "
+    "approach's hidden cost at 100 TB (sort spills dominate long before "
+    "the shuffle does). The ordering tuple (o_orderdate, o_orderkey) is "
+    "encoded as one collision-free BIGINT (epoch_seconds·10^9 + key, "
+    "key < 10^9 at any plausible SF) because DuckDB's arg_max takes "
+    "scalar ordering values; the same encoding runs on both engines.",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey)
+             AS last_orderkey,
+           arg_max(o_orderpriority,
+                   CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey)
+             AS state,
+           MAX(o_orderdate) AS updated_at
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_latest_order_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    seq = (
+        F.unix_timestamp("o_orderdate").cast("long") * F.lit(1000000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", seq).alias("last_orderkey"),
+        F.max_by("o_orderpriority", seq).alias("state"),
+        F.max("o_orderdate").alias("updated_at"),
+    )

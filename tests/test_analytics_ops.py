@@ -306,3 +306,64 @@ def test_compact_recovers_from_kill_before_cleanup(spark, tmp_path):
     assert after == 1
     assert spark.read.parquet(path).count() == 5000  # new data survived
     assert not os.path.exists(path + "__old")
+
+
+def test_text_corpus_ingestion_content_addressed(spark, tmp_path):
+    """Raw text tree -> documents shape: per-line docs, source from the
+    directory, deterministic content-addressed ids (re-ingesting the
+    same tree yields identical ids), blank lines dropped."""
+    from etl_seattle_call_data_spark.sources.corpus_source import (
+        ingest_corpus_to_documents,
+        read_text_corpus,
+    )
+
+    web = tmp_path / "corpus" / "web"
+    books = tmp_path / "corpus" / "books"
+    web.mkdir(parents=True)
+    books.mkdir(parents=True)
+    (web / "shard1.txt").write_text("the quick brown fox\n\njumps over\n")
+    (books / "b1.txt").write_text("call me ishmael\n")
+
+    docs = read_text_corpus(spark, str(tmp_path / "corpus" / "*" / "*.txt"))
+    rows = {r.text: r for r in docs.collect()}
+    assert set(rows) == {"the quick brown fox", "jumps over", "call me ishmael"}
+    assert rows["call me ishmael"].source == "books"
+    assert rows["the quick brown fox"].source == "web"
+    assert all(r.n_chars == len(t) for t, r in rows.items())
+
+    # determinism: same tree -> same ids, regardless of partitioning
+    again = {r.text: r.doc_id for r in read_text_corpus(
+        spark, str(tmp_path / "corpus" / "*" / "*.txt")).repartition(7).collect()}
+    assert again == {t: r.doc_id for t, r in rows.items()}
+
+    # whole-file mode keeps the multi-line doc together
+    whole = read_text_corpus(spark, str(web / "shard1.txt"), doc_per_file=True)
+    assert whole.count() == 1
+
+    # ingest pipeline dedups on content: duplicate file collapses
+    (web / "shard2.txt").write_text("the quick brown fox\n")  # dup line, same source
+    n = ingest_corpus_to_documents(
+        spark, str(tmp_path / "corpus" / "*" / "*.txt"), str(tmp_path / "out")
+    )
+    assert n == 3  # dup collapsed
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    """ORC sink/scan parity with parquet, plus evidence the partitioned
+    read prunes: a filtered scan's plan lists only the matching
+    partition directory."""
+    from etl_seattle_call_data_spark.sources.corpus_source import read_orc, write_orc
+    from etl_seattle_call_data_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path, partition_by=["event_type"])
+
+    back = read_orc(spark, path)
+    assert back.count() == ev.count()
+
+    one = back.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    exp = ev.filter(F.col("event_type") == "click").count()
+    assert one.count() == exp
