@@ -479,9 +479,15 @@ def q_q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty"))
     )
-    part_total = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty")).withColumnRenamed("l_partkey", "tp")
+    # Part totals as a window over the ALREADY-aggregated rollup, not a
+    # second aggregation re-joined: the oracle's part_total CTE would
+    # otherwise make Spark scan lineitem twice (shipped feeds two
+    # consumers; exchange reuse across an agg+join is not guaranteed).
+    # One fact scan, one extra shuffle over the (supp,part)-sized table.
     dominant = (
-        shipped.join(part_total, F.col("l_partkey") == F.col("tp"))
+        shipped.withColumn(
+            "total_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
         .filter(F.col("qty").cast("double") > F.lit(0.1) * F.col("total_qty").cast("double"))
         .select("l_suppkey")
     )
