@@ -376,3 +376,98 @@ def q_latest_order_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderpriority", seq).alias("state"),
         F.max("o_orderdate").alias("updated_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Financial-style OHLC resampling (min_by/max_by, no window sort)
+
+
+@register(
+    "ohlc_resample_hourly",
+    "OHLC time-series resampling: per (event_type, hour) the opening "
+    "value (first by time), closing value (last by time), high, low, "
+    "and tick count — the financial-bar downsample, computed as ONE "
+    "hash aggregate with min_by/max_by instead of a window sort over "
+    "the full stream. Ordering ties broken by the unique event_id via "
+    "the same collision-free BIGINT encoding as latest_order_maxby; "
+    "values pass through untouched (no float arithmetic to diverge).",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_hour,
+           arg_min(value, CAST(epoch(ts) AS BIGINT) * 1000000000 + event_id)
+             AS open_value,
+           arg_max(value, CAST(epoch(ts) AS BIGINT) * 1000000000 + event_id)
+             AS close_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM events
+    GROUP BY event_type, bar_hour
+    """,
+)
+def q_ohlc_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        F.unix_timestamp("ts").cast("long") * F.lit(1000000000).cast("long")
+        + F.col("event_id")
+    )
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bar_hour")
+    ).agg(
+        F.min_by("value", seq).alias("open_value"),
+        F.max_by("value", seq).alias("close_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency (the O(n log n) alternative to overlap joins)
+
+
+@register(
+    "peak_concurrency_sweepline",
+    "Peak interval concurrency per event type, each event held open 5 "
+    "minutes: the sweep-line rewrite — explode every interval into a "
+    "(+1 start, -1 end) point, running-sum the deltas in time order, "
+    "take the max. O(n log n) with one window shuffle, versus the "
+    "naive self-join on range overlap which is O(n²) candidates and "
+    "unusable at 100 TB. End points sort before coincident starts "
+    "(delta ASC in the tie), so back-to-back intervals never count as "
+    "concurrent; the per-row running sum is tie-order-sensitive but "
+    "its per-partition MAX is not (delta groups at one instant are "
+    "sign-homogeneous), so only the aggregate is emitted.",
+    """
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d FROM events
+    ),
+    sweep AS (
+      SELECT event_type,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS open_now
+      FROM pts
+    )
+    SELECT event_type, CAST(MAX(open_now) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY event_type
+    """,
+)
+def q_peak_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = starts.unionByName(ends).withColumn("open_now", F.sum("d").over(w))
+    return sweep.groupBy("event_type").agg(
+        F.max("open_now").cast("bigint").alias("peak_concurrency")
+    )

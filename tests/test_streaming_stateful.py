@@ -142,3 +142,47 @@ def test_stream_static_enrichment(spark, src, tmp_path):
     q.stop()
     rows = {r.event_id: r.tier for r in spark.sql("SELECT event_id, tier FROM enriched").collect()}
     assert rows == {1: "gold", 2: None}  # left join: unmatched stream rows survive
+
+
+def test_streaming_sessions_match_batch_session_window(spark, src, tmp_path):
+    """Coherence across engine faces: the STREAMING session aggregation
+    (sessionized_counts, session_window over a watermarked stream) must
+    produce exactly the sessions the BATCH session_window_counts query
+    computes — and that query's oracle already proves the batch side
+    equals the classic gaps-and-islands SQL. Complete output mode so
+    unfinalized trailing sessions are visible too."""
+    from etl_seattle_call_data_spark.plans.queries import REGISTRY
+    from etl_seattle_call_data_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id", "value")
+    _write_batch(
+        src / "all.json",
+        [
+            (r.event_id, r.ts.isoformat(), r.user_id, r.value)
+            for r in ev.collect()
+        ],
+    )
+
+    out = sessionized_counts(
+        _stream(spark, src), key="user_id", ts_col="ts", gap="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = {
+        (r.user_id, r.window_start, r.window_end): r.n_events
+        for r in spark.sql("SELECT * FROM sess_parity").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in REGISTRY["session_window_counts"].spark(spark, sf).collect()
+    }
+    assert streamed == batch
