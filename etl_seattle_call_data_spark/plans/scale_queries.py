@@ -471,3 +471,221 @@ def q_peak_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sweep.groupBy("event_type").agg(
         F.max("open_now").cast("bigint").alias("peak_concurrency")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median / MAD, outlier-immune)
+
+
+@register(
+    "robust_anomaly_mad",
+    "Median-absolute-deviation anomaly screen per event type — the "
+    "robust counterpart of the z-score flags (medians don't move when "
+    "the outliers they're hunting poison the mean/stddev). Two exact "
+    "percentile passes (per-type median, then median of |x−median|; "
+    "Spark percentile() ≡ DuckDB quantile_cont, bit-identical "
+    "interpolation — same contract percentiles_by_event_type proves) "
+    "and an integer count of |x−median| > 3·MAD rows. Two shuffles on "
+    "the 5-key type column, both map-side partialed.",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS median_value
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.median_value,
+             abs(e.value - m.median_value) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median_value, quantile_cont(adev, 0.5) AS mad_value
+      FROM dev GROUP BY event_type, median_value
+    )
+    SELECT d.event_type, d.median_value, m.mad_value,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad_value THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, d.median_value, m.mad_value
+    """,
+)
+def q_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("median_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("median_value"))
+    )
+    mad = dev.groupBy("event_type", "median_value").agg(
+        F.percentile("adev", 0.5).alias("mad_value")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad_value")), "event_type")
+        .groupBy("event_type", "median_value", "mad_value")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_value"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (self-join bounded by basket size)
+
+
+@register(
+    "copurchase_part_pairs",
+    "Market-basket analysis: the 20 part pairs most often bought in the "
+    "same order. Self-equi-join of lineitem on orderkey with id "
+    "inequality — candidate count is Σ(basket²) and baskets are ~7 "
+    "lines, so the fan-out is bounded per order (never corpus²); one "
+    "shuffle on the pair key with map-side partials, then TakeOrdered "
+    "top-20 (ties broken by the pair ids, no global sort).",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-shift divergence per source (fixed-point chi-squared, log-free)
+
+
+@register(
+    "source_divergence_chi2",
+    "Per-source domain-shift score: chi-squared divergence between each "
+    "source's unigram distribution and the whole-corpus distribution, "
+    "in exact fixed-point (p,q = count·10⁶ DIV total; term = (p−q)² "
+    "DIV q — integer floor division, bit-identical on every engine; a "
+    "log-based KL would hinge on libm rounding). Summed over the "
+    "tokens PRESENT in the source (absent-token mass excluded by "
+    "definition). The corpus distribution derives from the per-source "
+    "counts by re-aggregation — the token stream is scanned once.",
+    """
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ),
+    sc AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+    st AS (SELECT source, SUM(c) AS t FROM sc GROUP BY source),
+    cc AS (SELECT tok, SUM(c) AS c FROM sc GROUP BY tok),
+    ct AS (SELECT SUM(c) AS t FROM cc),
+    terms AS (
+      SELECT sc.source,
+             (sc.c * 1000000) // st.t AS p,
+             (cc.c * 1000000) // ct.t AS q
+      FROM sc
+      JOIN st ON sc.source = st.source
+      JOIN cc ON sc.tok = cc.tok
+      CROSS JOIN ct
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN q > 0 THEN ((p - q) * (p - q)) // q
+                         ELSE 0 END) AS BIGINT) AS chi2_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM terms
+    GROUP BY source
+    """,
+)
+def q_source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(text.tokens("text")).alias("tok"))
+    sc = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("t"))
+    cc = sc.groupBy("tok").agg(F.sum("c").alias("cc_c"))
+    ct = cc.agg(F.sum("cc_c").alias("ct_t"))
+    terms = (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "tok")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            F.expr("(c * 1000000) DIV t").alias("p"),
+            F.expr("(cc_c * 1000000) DIV ct_t").alias("q"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("q") > 0, F.expr("((p - q) * (p - q)) DIV q")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("chi2_fp"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics (what the salting/AQE knobs are tuned FROM)
+
+
+@register(
+    "skew_report_lineitem_orderkey",
+    "Join-key skew report for lineitem.l_orderkey: the top-10 hottest "
+    "keys with their row share, plus each key's multiple of a perfectly "
+    "uniform key (share·n_keys in fixed-point) — the diagnostic that "
+    "decides between plain shuffle, AQE skew-join, and explicit "
+    "salting. One count aggregation + a 10-row TakeOrdered; the scalar "
+    "totals ride along via a broadcast single-row cross join.",
+    """
+    WITH kc AS (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey),
+    tot AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys FROM kc)
+    SELECT l_orderkey, CAST(c AS BIGINT) AS n_rows_key,
+           CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE) AS row_share,
+           CAST((c * n_keys * 1000000) // n_rows AS BIGINT) AS uniform_multiple_fp
+    FROM kc CROSS JOIN tot
+    ORDER BY c DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_skew_report_lineitem_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    tot = kc.agg(
+        F.sum("c").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        kc.crossJoin(F.broadcast(tot))
+        .select(
+            "l_orderkey",
+            F.col("c").cast("bigint").alias("n_rows_key"),
+            (F.col("c").cast("double") / F.col("n_rows").cast("double")).alias(
+                "row_share"
+            ),
+            F.expr("CAST((c * n_keys * 1000000) DIV n_rows AS BIGINT)").alias(
+                "uniform_multiple_fp"
+            ),
+        )
+        .orderBy(F.desc("n_rows_key"), "l_orderkey")
+        .limit(10)
+    )
