@@ -689,3 +689,120 @@ def q_skew_report_lineitem_orderkey(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("n_rows_key"), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit (constraint checks as one aggregated report)
+
+
+@register(
+    "dq_audit_orders_lineitem",
+    "Warehouse data-quality gate as one report row: orphan lineitems "
+    "(no parent order), orders with a dangling customer key, duplicate "
+    "order keys, null-key rows, and the total row counts the rates are "
+    "judged against. Each check is an anti-join or aggregate the "
+    "optimizer plans independently; at 100 TB the anti-joins broadcast "
+    "their key-only build sides and nothing scans twice thanks to "
+    "column pruning (key columns only).",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+         (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+        AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+         (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+        AS dangling_customer_fk,
+      (SELECT COUNT(*) FROM
+         (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        AS duplicate_orderkeys,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS null_orderkeys,
+      (SELECT COUNT(*) FROM orders) AS n_orders,
+      (SELECT COUNT(*) FROM lineitem) AS n_lineitems
+    """,
+)
+def q_dq_audit_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    orphans = li.join(
+        o.select("o_orderkey").filter(F.col("o_orderkey").isNotNull()),
+        li["l_orderkey"] == o["o_orderkey"],
+        "left_anti",
+    ).count()
+    dangling = o.join(
+        c.select("c_custkey").filter(F.col("c_custkey").isNotNull()),
+        o["o_custkey"] == c["c_custkey"],
+        "left_anti",
+    ).count()
+    dupes = (
+        o.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    )
+    nulls = o.filter(F.col("o_orderkey").isNull()).count()
+    # the scalar counts are driver-side ints (six numbers, not data);
+    # assembling them into one report row is the legitimate-tiny class
+    return load_table(spark, sf_dir, "region").limit(1).select(
+        F.lit(orphans).cast("bigint").alias("orphan_lineitems"),
+        F.lit(dangling).cast("bigint").alias("dangling_customer_fk"),
+        F.lit(dupes).cast("bigint").alias("duplicate_orderkeys"),
+        F.lit(nulls).cast("bigint").alias("null_orderkeys"),
+        F.lit(o.count()).cast("bigint").alias("n_orders"),
+        F.lit(li.count()).cast("bigint").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report window (share-of-parent rollup)
+
+
+@register(
+    "nation_revenue_share",
+    "Ratio-to-report: each nation's share of its REGION's revenue via a "
+    "window SUM over the 25-row nation rollup — the share computation "
+    "never touches fact-table granularity (aggregate first, window the "
+    "tiny rollup). Revenue decimal-exact; the share is one double "
+    "division of identical inputs.",
+    """
+    WITH nat AS (
+      SELECT r_name AS region, n_name AS nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+             AS region_share
+    FROM nat
+    """,
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    nat = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("rev"))
+    )
+    share = F.col("rev").cast("double") / F.sum("rev").over(
+        Window.partitionBy("region")
+    ).cast("double")
+    return nat.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("region_share"),
+    )
