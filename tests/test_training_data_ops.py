@@ -360,3 +360,74 @@ def test_probe_list_is_home_plus_hamming1(spark):
     ).collect()[0].p
     assert probes[0] == 0b1010
     assert set(probes[1:]) == {0b1011, 0b1000, 0b1110, 0b0010}
+
+
+def test_apply_changes_merge_semantics(spark):
+    """Direct unit coverage of cdc.apply_changes: untouched passthrough,
+    latest-change-wins within a key (delete then later update =>
+    update wins; update then later delete => key gone), insert of a new
+    key, and result schema == base schema."""
+    from etl_seattle_call_data_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10), (4, "d", 10)],
+        ["k", "state", "ver"],
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 2: update at ver 11, DELETE at ver 12 -> gone
+            (2, "U", "b2", 11), (2, "D", None, 12),
+            # key 3: delete at ver 11, update at ver 12 -> survives as c2
+            (3, "D", None, 11), (3, "U", "c2", 12),
+            # key 5: pure insert
+            (5, "U", "e", 11),
+        ],
+        ["k", "op", "state", "ver"],
+    )
+    out = cdc.apply_changes(base, changes, key="k", seq_cols=["ver"])
+    assert out.columns == base.columns
+    rows = {r.k: (r.state, r.ver) for r in out.collect()}
+    assert rows == {1: ("a", 10), 3: ("c2", 12), 4: ("d", 10), 5: ("e", 11)}
+
+
+def test_semantic_dedup_keeps_lowest_id_and_respects_cells(spark):
+    """semantic_dedup drops exactly the docs with a lower-id near-dup in
+    the SAME sign cell: identical vectors collapse to the lowest id;
+    an identical vector in a different cell (sign-flipped dims) is NOT
+    a candidate and survives."""
+    from etl_seattle_call_data_spark.operators import similarity
+
+    v = [1.0] * 8
+    w = [-1.0] * 4 + [1.0] * 4  # different sign cell
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, v), (10, w), (11, w)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in similarity.semantic_dedup(
+        df, threshold=0.9, n_bits=4, salt=2).collect()}
+    assert out[1].kept and not out[2].kept and not out[3].kept
+    assert out[10].kept and not out[11].kept
+    assert out[1].cell != out[10].cell
+
+
+def test_scalar_quantize_error_bound(spark):
+    """Reconstruction error of the int8 scalar quantizer is bounded by
+    one quantization step (mx-mn)/255 per dimension."""
+    from etl_seattle_call_data_spark.operators import similarity
+    from etl_seattle_call_data_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    import pyspark.sql.functions as F
+
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg((F.max(F.col("x").cast("double")) - F.min(F.col("x").cast("double"))).alias("span"))
+        .agg(F.max("span"))
+        .first()[0]
+    )
+    step = stats / 255.0
+    worst = similarity.scalar_quantize_stats(emb).agg(
+        F.max("max_abs_err")
+    ).first()[0]
+    assert worst <= step * (1 + 1e-9)
