@@ -806,3 +806,47 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         share.alias("region_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-zone-aware local-time analytics (IANA rules incl. DST)
+
+
+@register(
+    "tz_local_hour_activity",
+    "Wall-clock activity profile: events bucketed by their "
+    "America/Los_Angeles LOCAL hour-of-day — UTC-stored timestamps "
+    "shifted through real IANA rules, so DST transitions move the "
+    "bucket boundary (UTC−7 summer, UTC−8 winter; the Spark "
+    "from_utc_timestamp ≡ DuckDB timezone(tz, timezone('UTC', ts)) "
+    "equivalence is itself what the oracle certifies, session-tz-"
+    "independent on both engines). Value sums decimal-exact; one "
+    "shuffle on the 24×5 bucket key.",
+    """
+    SELECT event_type,
+           CAST(hour(timezone('America/Los_Angeles', timezone('UTC', ts)))
+                AS INTEGER) AS local_hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, local_hour
+    """,
+)
+def q_tz_local_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts"), "America/Los_Angeles")
+    return (
+        ev.groupBy(
+            "event_type", F.hour(local).cast("int").alias("local_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(_DEC)).alias("sum_dec"),
+        )
+        .select(
+            "event_type",
+            "local_hour",
+            "n",
+            F.col("sum_dec").cast("double").alias("total_value"),
+        )
+    )

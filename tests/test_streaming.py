@@ -687,3 +687,35 @@ def test_end_to_end_poll_stream_upsert_serve(spark, tmp_path):
         assert served == {"1": 1, "2": 1, "7": 1}, served
     finally:
         srv.shutdown()
+
+
+def test_stream_into_versioned_table(spark, tmp_path):
+    """Composition: a micro-batch stream committing each epoch into a
+    VersionedTable gives replayable history — the streaming face of
+    time travel (every trigger is a queryable version)."""
+    from etl_seattle_call_data_spark.operators.versioned import VersionedTable
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t = VersionedTable(str(tmp_path / "tbl"))
+
+    (src / "b1.json").write_text(json.dumps({"k": "a", "v": 1}) + "\n")
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, eid: t.commit(df, op=f"epoch:{eid}"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b2.json").write_text(json.dumps({"k": "b", "v": 2}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(t.history()) == 2
+    assert t.read(spark, version=1).count() == 1
+    assert {r.k for r in t.read(spark).collect()} == {"b"}  # latest epoch only

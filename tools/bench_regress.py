@@ -1,0 +1,58 @@
+"""Round-over-round bench diff: compare BENCH_DETAIL.json per-query
+times against a previous round's table (BENCH_DETAIL or a driver
+BENCH_r{N}.json tail) and flag regressions.
+
+Usage: python tools/bench_regress.py [old.json] [--threshold 1.5]
+Defaults to diffing against the round-1 table in BASELINE.md is not
+machine-readable; pass the old BENCH_DETAIL.json you committed."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc and isinstance(doc["queries"], dict):
+        return doc["queries"]
+    # driver BENCH_r{N}.json: try the tail capture
+    tail = doc.get("tail", "")
+    start = tail.find('"queries"')
+    if start == -1:
+        raise SystemExit(f"{path}: no queries dict found")
+    obj = tail[tail.find("{", start):]
+    depth = 0
+    for i, ch in enumerate(obj):
+        depth += ch == "{"
+        depth -= ch == "}"
+        if depth == 0:
+            return json.loads(obj[: i + 1])
+    raise SystemExit(f"{path}: truncated queries dict")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1])
+    old_path = args[0] if args else "BENCH_r01.json"
+    old = load_queries(old_path)
+    new = load_queries("BENCH_DETAIL.json")
+    common = sorted(set(old) & set(new))
+    regressed = [(n, old[n], new[n]) for n in common if new[n] > thr * old[n]]
+    improved = [(n, old[n], new[n]) for n in common if new[n] < old[n] / thr]
+    import math
+    gm = math.exp(sum(math.log(new[n] / old[n]) for n in common) / len(common)) if common else 1.0
+    print(f"compared {len(common)} queries vs {old_path}; geomean ratio {gm:.3f}")
+    for n, o, w in sorted(regressed, key=lambda t: -(t[2] / t[1])):
+        print(f"  REGRESSED {n}: {o:.3f}s -> {w:.3f}s ({w / o:.2f}x)")
+    for n, o, w in sorted(improved, key=lambda t: t[2] / t[1])[:5]:
+        print(f"  improved  {n}: {o:.3f}s -> {w:.3f}s ({w / o:.2f}x)")
+    return 1 if regressed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
