@@ -850,3 +850,121 @@ def q_tz_local_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_dec").cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period growth (the BI WoW/MoM report shape)
+
+
+@register(
+    "revenue_wow_growth",
+    "Week-over-week revenue growth per order priority: weekly decimal-"
+    "exact revenue, lag(1) over the week sequence, growth = one double "
+    "division (sentinel -999.0 for each priority's first week — a "
+    "NULL would canonicalize as NaN on one engine and None on the "
+    "other, and growth is structurally > -1 so the sentinel is "
+    "unambiguous). "
+    "Aggregate first (the window runs over the ~priority×weeks rollup, "
+    "never fact granularity); one fact shuffle, one tiny window sort.",
+    """
+    WITH weekly AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders
+      GROUP BY o_orderpriority, week
+    )
+    SELECT priority, week,
+           CAST(rev AS DOUBLE) AS revenue,
+           COALESCE(CAST(rev AS DOUBLE)
+             / CAST(lag(rev) OVER (PARTITION BY priority ORDER BY week) AS DOUBLE)
+             - 1.0, -999.0) AS wow_growth
+    FROM weekly
+    """,
+)
+def q_revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("week", F.col("o_orderdate")).alias("week"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.partitionBy("priority").orderBy("week")
+    return weekly.select(
+        "priority",
+        "week",
+        F.col("rev").cast("double").alias("revenue"),
+        F.coalesce(
+            F.col("rev").cast("double") / F.lag("rev").over(w).cast("double")
+            - F.lit(1.0),
+            F.lit(-999.0),
+        ).alias("wow_growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion latency (how long each converting user took)
+
+
+@register(
+    "funnel_latency_quantiles",
+    "Conversion-latency distribution for the ordered view→purchase "
+    "funnel: per user, first view then first purchase AT OR AFTER it "
+    "(order-enforced, same discipline as the stepwise funnel); the "
+    "view→purchase gap in whole seconds feeds exact p25/p50/p75 "
+    "(quantile_cont ≡ Spark percentile, the proven cross-engine "
+    "interpolation contract). Gaps diff exact MICROSECOND integers "
+    "(epoch_us ≡ unix_micros) floor-divided to seconds — DuckDB's "
+    "epoch() keeps fractional seconds and its double→int cast ROUNDS "
+    "where Spark truncates, so second-level math must never pass "
+    "through doubles. Two narrow per-user aggregates, one global quantile "
+    "over ~n_users rows.",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT p.user_id,
+             (epoch_us(p.first_purchase) - epoch_us(v.first_view)) // 1000000
+               AS latency_s
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(CAST(latency_s AS DOUBLE), 0.25) AS p25_s,
+           quantile_cont(CAST(latency_s AS DOUBLE), 0.50) AS p50_s,
+           quantile_cont(CAST(latency_s AS DOUBLE), 0.75) AS p75_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_s
+    FROM lat
+    """,
+)
+def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = p.join(v, "user_id").select(
+        F.expr("(unix_micros(first_purchase) - unix_micros(first_view)) DIV 1000000")
+        .alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile(F.col("latency_s").cast("double"), 0.25).alias("p25_s"),
+        F.percentile(F.col("latency_s").cast("double"), 0.50).alias("p50_s"),
+        F.percentile(F.col("latency_s").cast("double"), 0.75).alias("p75_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )

@@ -401,3 +401,21 @@ def test_versioned_table_time_travel_rollback_vacuum(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         t.read(spark, version=2)                  # vacuumed beyond horizon
+
+
+def test_text_corpus_reads_gzip_shards(spark, tmp_path):
+    """Compressed shards ingest transparently (Spark's text source
+    decompresses .gz per file). Caveat encoded in the test: a .gz shard
+    is NOT splittable — one file = one task — so the 100 TB layout is
+    many medium shards, never one giant archive."""
+    import gzip
+
+    from etl_seattle_call_data_spark.sources.corpus_source import read_text_corpus
+
+    d = tmp_path / "corpus" / "web"
+    d.mkdir(parents=True)
+    with gzip.open(d / "shard1.txt.gz", "wt") as f:
+        f.write("alpha doc\nbeta doc\n")
+    docs = read_text_corpus(spark, str(d / "*.gz"))
+    assert {r.text for r in docs.collect()} == {"alpha doc", "beta doc"}
+    assert docs.first().source == "web"
