@@ -968,3 +968,88 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("latency_s").cast("double"), 0.75).alias("p75_s"),
         F.max("latency_s").cast("bigint").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# User-journey path mining (ordered sequence aggregation)
+
+
+@register(
+    "top_event_paths",
+    "Top user journeys: each user's first five events in (ts, event_id) "
+    "order joined into a path string, counted, top-15 by frequency. "
+    "The ordered sequence comes from sort_array over collected "
+    "(ts, event_id, type) structs — struct order is total because the "
+    "id is unique, so the path is deterministic on any partitioning "
+    "(a bare collect_list would be partition-order-dependent and "
+    "irreproducible). One shuffle on user_id bounded by slice(5), one "
+    "on the path key, TakeOrdered top-k.",
+    """
+    WITH paths AS (
+      SELECT user_id,
+             array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '->')
+               AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 15
+    """,
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.array_join(
+        F.slice(F.transform(seq, lambda s: s["event_type"]), 1, 5), "->"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap presence sketch (bit_or aggregation + popcount)
+
+
+@register(
+    "event_user_bitmap",
+    "Bitmap presence sketch per event type: users hash into 62 bucket "
+    "bits of one BIGINT (63 would shift into the sign bit — DuckDB "
+    "raises, Spark silently wraps negative), presence folds with bit_or (commutative/associative — "
+    "map-side partials compose exactly like any monoid agg), "
+    "bit_count reads occupancy. The 64-bit fixed-width cousin of a "
+    "roaring bitmap index: O(1) state per group regardless of user "
+    "count, mergeable across partitions/segments without resorting to "
+    "distinct shuffles. Bucket = pmod(xxhash64(user_id), 64) — the "
+    "engine's portable hash is not DuckDB-reproducible, so the bucket "
+    "uses user_id % 62 here to stay oracle-exact (documented swap).",
+    """
+    SELECT event_type,
+           CAST(bit_or(1 << CAST(user_id % 62 AS BIGINT)) AS BIGINT)
+             AS presence_bitmap,
+           CAST(bit_count(CAST(bit_or(1 << CAST(user_id % 62 AS BIGINT)) AS BIGINT))
+                AS INTEGER) AS buckets_occupied,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_event_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # PySpark's shiftleft helper takes only a literal bit count; the SQL
+    # form accepts a column expression
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+    bm = F.bit_or(mask)
+    return ev.groupBy("event_type").agg(
+        bm.cast("long").alias("presence_bitmap"),
+        F.bit_count(bm).cast("int").alias("buckets_occupied"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users_exact"),
+    )
