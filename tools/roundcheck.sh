@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# One-command round gate: full oracle sweep (the driver's correctness
+# contract), full test suite, bench contract (single parseable stdout
+# line), and plan-marker audit. Run before ending any round.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+fail=0
+
+echo "=== 1/4 full oracle sweep (sf0.01) ==="
+python tools/verify_oracle.py 2>&1 | tail -3 || fail=1
+
+echo "=== 2/4 pytest ==="
+python -m pytest tests/ -q 2>&1 | tail -2 || fail=1
+
+echo "=== 3/4 bench contract ==="
+lines=$(python bench.py 2>/dev/null | tee /tmp/bench_out.txt | wc -l)
+if [ "$lines" != "1" ]; then echo "FAIL: bench stdout is $lines lines, want 1"; fail=1; fi
+python - <<'PY' || fail=1
+import json
+d = json.load(open("/tmp/bench_out.txt"))
+assert len(open("/tmp/bench_out.txt").read()) < 1900, "bench line too long for driver tail"
+print(f"bench OK: {d['n']} queries, {d['value']}s at sf={d['sf']}")
+PY
+
+echo "=== 4/4 plan markers ==="
+python tools/plan_dump.py >/dev/null 2>&1 && echo "plans OK" || { echo "FAIL: unexpected plan markers"; fail=1; }
+
+[ "$fail" = 0 ] && echo "ROUNDCHECK GREEN" || echo "ROUNDCHECK FAILED"
+exit $fail
