@@ -1053,3 +1053,50 @@ def q_event_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(bm).cast("int").alias("buckets_occupied"),
         F.count_distinct(F.col("user_id")).cast("long").alias("n_users_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join semantics (<=> / IS NOT DISTINCT FROM)
+
+
+@register(
+    "null_safe_segment_join",
+    "Null-safe equi-join: two halves of the event stream aggregate by a "
+    "NULLABLE segment key (low-value events lose their segment — the "
+    "missing-dimension model) and join with <=> so the NULL segments "
+    "MATCH each other instead of silently dropping — the semantic gap "
+    "between ON a=b (nulls never join) and IS NOT DISTINCT FROM that "
+    "reconciliation pipelines hit constantly. Null-safe equality still "
+    "plans as a hash join (the key is hashable); counts exact.",
+    """
+    WITH tagged AS (
+      SELECT event_id,
+             CASE WHEN value < 0.5 THEN NULL ELSE event_type END AS seg
+      FROM events
+    ),
+    a AS (SELECT seg, COUNT(*) AS n_a FROM tagged WHERE event_id % 2 = 0 GROUP BY seg),
+    b AS (SELECT seg, COUNT(*) AS n_b FROM tagged WHERE event_id % 2 = 1 GROUP BY seg)
+    SELECT a.seg, CAST(a.n_a AS BIGINT) AS n_a, CAST(b.n_b AS BIGINT) AS n_b
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+def q_null_safe_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_id",
+        F.when(F.col("value") < 0.5, F.lit(None)).otherwise(F.col("event_type")).alias("seg"),
+    )
+    a = (
+        tagged.filter(F.col("event_id") % 2 == 0)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        tagged.filter(F.col("event_id") % 2 == 1)
+        .groupBy(F.col("seg").alias("seg_b"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        a.join(b, a["seg"].eqNullSafe(b["seg_b"]))
+        .select("seg", "n_a", "n_b")
+    )
