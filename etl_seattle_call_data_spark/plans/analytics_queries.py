@@ -495,8 +495,9 @@ def q_q16_supplier_cnt_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Catalyst extracts the common equi-key so the OR never forces a "
     "nested-loop join.",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+    SELECT COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 0.0)
+             AS revenue,
            COUNT(*) AS n_items
     FROM lineitem, part
     WHERE p_partkey = l_partkey
@@ -523,7 +524,10 @@ def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#34", 15, 20, 30))
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            # COALESCE: at tiny SFs all three arms can be empty, and an
+            # empty SUM is NULL — which canonicalizes as None in Spark
+            # but NaN through DuckDB->pandas; 0.0 is the empty-revenue
+            F.coalesce(F.sum(rev).cast("double"), F.lit(0.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
