@@ -1100,3 +1100,61 @@ def q_null_safe_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a["seg"].eqNullSafe(b["seg_b"]))
         .select("seg", "n_a", "n_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU via mergeable bitmap rollup (sketch once, roll up many ways)
+
+
+@register(
+    "wau_dau_bitmap_rollup",
+    "DAU/WAU from ONE daily sketch: per (event_type, day) a 62-bit "
+    "user-bucket bitmap (bit_or monoid — partial-aggregates map-side), "
+    "then weekly activity is the bitmaps OR-folded over a 7-day window "
+    "— the mergeable-sketch rollup that makes engagement metrics "
+    "feasible at 100 TB: the fact table is scanned ONCE at day grain "
+    "and every coarser period derives by sketch merge, never a "
+    "re-scan. Bucket occupancy approximates actives (exact while "
+    "users-per-type-day < buckets); stickiness = one double division.",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             bit_or(1 << CAST(user_id % 62 AS BIGINT)) AS bm
+      FROM events
+      GROUP BY event_type, day
+    )
+    SELECT event_type, day,
+           CAST(bit_count(CAST(bm AS BIGINT)) AS INTEGER) AS dau_buckets,
+           CAST(bit_count(CAST(bit_or(bm) OVER (
+                  PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT))
+                AS INTEGER) AS wau_buckets,
+           CAST(bit_count(CAST(bm AS BIGINT)) AS DOUBLE)
+             / CAST(bit_count(CAST(bit_or(bm) OVER (
+                  PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT))
+                    AS DOUBLE) AS stickiness
+    FROM daily
+    """,
+)
+def q_wau_dau_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.bit_or(mask).alias("bm"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    dau = F.bit_count(F.col("bm")).cast("int")
+    wau = F.bit_count(F.bit_or(F.col("bm")).over(w)).cast("int")
+    return daily.select(
+        "event_type",
+        "day",
+        dau.alias("dau_buckets"),
+        wau.alias("wau_buckets"),
+        (dau.cast("double") / wau.cast("double")).alias("stickiness"),
+    )
