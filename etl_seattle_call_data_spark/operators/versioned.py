@@ -30,6 +30,13 @@ for keyed-upsert workloads where per-commit deltas are small, use the
 bucket-level manifest sink instead; this operator is for
 repeatedly-republished aggregate/rollup tables where each version IS a
 full rewrite and time travel across them must be cheap and exact.
+
+Concurrency contract: SINGLE WRITER. The manifest publish is atomic but
+last-wins — two concurrent committers would each append to their own
+read of the log and one append would be lost (the orphaned data dir is
+then vacuumable, so the table stays consistent, but that commit is
+gone). Serialize writers externally (the same contract Delta has on
+stores without atomic compare-and-swap). Readers need no coordination.
 """
 
 from __future__ import annotations

@@ -431,3 +431,50 @@ def test_scalar_quantize_error_bound(spark):
         F.max("max_abs_err")
     ).first()[0]
     assert worst <= step * (1 + 1e-9)
+
+
+def test_build_training_corpus_end_to_end(spark):
+    """The full corpus-builder composition on sf0.001 documents: stage
+    report is monotone non-increasing, exact dups are gone, splits are
+    deterministic and complete, and the eval decontamination stage
+    removes a doc planted verbatim in the eval set."""
+    import pyspark.sql.functions as F
+
+    from etl_seattle_call_data_spark.operators.corpus_pipeline import (
+        CorpusConfig,
+        build_training_corpus,
+    )
+    from etl_seattle_call_data_spark.operators.text import canonical_text
+    from etl_seattle_call_data_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # plant an eval set containing one corpus doc verbatim
+    eval_set = docs.filter(F.col("doc_id") == docs.agg(F.min("doc_id")).first()[0])
+
+    corpus, report = build_training_corpus(
+        docs, eval_set=eval_set, config=CorpusConfig(min_tokens=5)
+    )
+    stages = [r["stage"] for r in report]
+    assert stages[:3] == ["quality_gate", "exact_dedup", "near_dedup"]
+    assert "decontaminate" in stages
+    for r in report:
+        assert r["rows_out"] <= r["rows_in"]
+
+    out = corpus.persist()
+    try:
+        # exact dups gone: canonical fingerprints unique
+        n = out.count()
+        assert out.select(canonical_text("text").alias("c")).distinct().count() == n
+        # planted eval doc was removed
+        planted = eval_set.first().doc_id
+        assert out.filter(F.col("doc_id") == planted).count() == 0
+        # split column total & determinism
+        assert out.filter(F.col("split").isin("train", "val", "test")).count() == n
+        again, _ = build_training_corpus(
+            docs, eval_set=eval_set, config=CorpusConfig(min_tokens=5)
+        )
+        assert {r.doc_id: r.split for r in out.collect()} == {
+            r.doc_id: r.split for r in again.collect()
+        }
+    finally:
+        out.unpersist()
