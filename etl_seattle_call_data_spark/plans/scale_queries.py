@@ -1158,3 +1158,76 @@ def q_wau_dau_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         wau.alias("wau_buckets"),
         (dau.cast("double") / wau.cast("double")).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded anti-join (NOT EXISTS within a window — abandonment)
+
+
+@register(
+    "abandoned_views",
+    "Abandonment metric: per user, views with NO click/purchase by the "
+    "same user within the following 30 minutes — the time-bounded "
+    "NOT EXISTS decorrelation. Spark plans the anti-join with the "
+    "user_id equi-key as the hash key and the time bounds as residual "
+    "join conditions — never a nested-loop over the corpus; one "
+    "shuffle on user_id serves both sides. Abandonment rate is one "
+    "double division of exact counts.",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    fu AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    abandoned AS (
+      SELECT v.user_id, v.event_id FROM v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM fu
+        WHERE fu.user_id = v.user_id
+          AND fu.ts >= v.ts
+          AND fu.ts < v.ts + INTERVAL 30 MINUTE
+      )
+    )
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST((SELECT COUNT(*) FROM abandoned a WHERE a.user_id = v.user_id)
+                AS BIGINT) AS n_abandoned,
+           CAST((SELECT COUNT(*) FROM abandoned a WHERE a.user_id = v.user_id)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS abandon_rate
+    FROM v
+    GROUP BY v.user_id
+    """,
+)
+def q_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    fu = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("user_id").alias("fu_user"), F.col("ts").alias("fu_ts")
+    )
+    abandoned = v.join(
+        fu,
+        (F.col("fu_user") == F.col("user_id"))
+        & (F.col("fu_ts") >= F.col("ts"))
+        & (F.col("fu_ts") < F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_anti",
+    )
+    totals = v.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_views"))
+    ab = abandoned.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_abandoned")
+    )
+    return (
+        totals.join(ab, "user_id", "left")
+        .select(
+            "user_id",
+            "n_views",
+            F.coalesce(F.col("n_abandoned"), F.lit(0)).cast("bigint").alias("n_abandoned"),
+            (
+                F.coalesce(F.col("n_abandoned"), F.lit(0)).cast("double")
+                / F.col("n_views").cast("double")
+            ).alias("abandon_rate"),
+        )
+    )
