@@ -1231,3 +1231,51 @@ def q_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abandon_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (NTILE buckets with per-bucket stats)
+
+
+@register(
+    "equidepth_histogram_totals",
+    "Equi-depth (equal-count) histogram of order totals: NTILE(10) "
+    "assigns ranked rows to buckets of near-equal population, then "
+    "per-bucket min/max/count/decimal-sum describe the distribution — "
+    "the complement of the fixed-width histogram (equal RANGES, skewed "
+    "counts) and the basis of optimizer column statistics. NTILE ties "
+    "are broken by the unique order key, so bucket assignment is total "
+    "and cross-engine identical. Caveat owned: exact NTILE needs one "
+    "global sort of the (totalprice, key) pair — two narrow columns, "
+    "fine into the TB range; at 100 TB the equi-depth boundaries come "
+    "from approxQuantile + range partitioning instead (the exact path "
+    "maintenance.zorder_cluster already implements for its codebooks).",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM ranked
+    GROUP BY bucket
+    """,
+)
+def q_equidepth_histogram_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ranked = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
