@@ -323,3 +323,14 @@ def test_zorder_narrows_both_columns_per_file(spark, tmp_path_factory):
     assert after_price < 0.7, after_price
     # correctness: same rows back
     assert spark.read.parquet(path).count() == df0.count()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_product(spark, name):
+    """A CartesianProduct node means a join lost its keys — the
+    scale-fatal plan. The engine's deliberate cross joins are all
+    broadcast-scalar / broadcast-query-set shapes, which plan as
+    BroadcastNestedLoopJoin over a 1-row (or dim-sized) build side,
+    never CartesianProduct."""
+    plan = _plan(REGISTRY[name].spark(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
