@@ -1279,3 +1279,39 @@ def q_equidepth_histogram_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The spark.sql surface (same engine, SQL text in, Catalyst out)
+
+
+_SQL_SURFACE = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_surface_pricing",
+    "The engine's SQL face: this query is ONE ANSI string executed "
+    "verbatim by BOTH engines — spark.sql() over the registered temp "
+    "views and DuckDB over the same parquet — proving the SQL surface "
+    "is first-class (same Catalyst plan, pushdown, and AQE as the "
+    "DataFrame API; load_tables registers every test table as a view). "
+    "The dialect-neutral subset used everywhere (CAST/DECIMAL/"
+    "TIMESTAMP literals/CASE) is exactly what makes the oracle gate "
+    "possible.",
+    _SQL_SURFACE,
+)
+def q_sql_surface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_SQL_SURFACE)

@@ -9,6 +9,9 @@ fail=0
 echo "=== 1/4 full oracle sweep (sf0.01) ==="
 python tools/verify_oracle.py 2>&1 | tail -3 || fail=1
 
+echo "=== 1b/4 full oracle sweep (sf0.001 — emptiness bugs are SF-dependent) ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/verify_oracle.py 2>&1 | tail -2 || fail=1
+
 echo "=== 2/4 pytest ==="
 python -m pytest tests/ -q 2>&1 | tail -2 || fail=1
 
