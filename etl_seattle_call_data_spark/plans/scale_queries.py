@@ -1315,3 +1315,34 @@ def q_sql_surface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, names=("lineitem",))
     return spark.sql(_SQL_SURFACE)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery in FROM (per-row dependent join)
+
+
+_LATERAL_SQL = """
+    SELECT c_custkey, c_acctbal, o_orderkey, o_orderdate
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_orderdate FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2
+    ) recent
+"""
+
+
+@register(
+    "lateral_recent_orders",
+    "LATERAL correlated subquery in FROM — each customer's two most "
+    "recent orders via a per-row dependent subquery, the decorrelation "
+    "shape window-rank can express but LATERAL states directly; one "
+    "ANSI string runs verbatim on both engines (Catalyst decorrelates "
+    "it to a ranked join — no per-row re-execution; the inner ORDER "
+    "BY carries the unique key so the kept pair is total-ordered).",
+    _LATERAL_SQL,
+)
+def q_lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)

@@ -97,3 +97,40 @@ def test_upsert_snapshot_matches_model(spark, cur_rows, batch_rows):
                 best[k] = (v, o, o, src)
     want = {k: (v, o) for k, (v, o, _, _) in best.items()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 20)),  # (start, len)
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_sweepline_peak_matches_bruteforce(spark, intervals):
+    """The sweep-line peak-concurrency rewrite equals the brute-force
+    answer (max over all interval starts of how many intervals cover
+    that start) for ARBITRARY interval sets — including exact
+    boundary-touch cases, where [a,b) and [b,c) must NOT count as
+    concurrent."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    ivs = [(s, s + ln) for s, ln in intervals]
+    # brute force: peak occurs at some interval start
+    want = max(sum(1 for a, b in ivs if a <= s < b) for s, _ in ivs)
+
+    df = spark.createDataFrame(ivs, "a int, b int")
+    pts = df.selectExpr("a AS t", "1 AS d").unionByName(
+        df.selectExpr("b AS t", "-1 AS d")
+    )
+    w = (
+        Window.orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        pts.withColumn("open_now", F.sum("d").over(w))
+        .agg(F.max("open_now"))
+        .first()[0]
+    )
+    assert got == want
