@@ -1346,3 +1346,64 @@ def q_lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, names=("customer", "orders"))
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# kNN graph construction (every node's top-k neighbors, blocked)
+
+
+@register(
+    "knn_graph_blocked",
+    "k-nearest-neighbor graph over embeddings, k=3, within label "
+    "blocks: the all-nodes neighbor structure that graph ANN indices "
+    "(HNSW/NSG) and graph-based dedup build on — distinct from "
+    "similarity_topk_* which rank against a small query set. In-block "
+    "pairs via the salted equi-join (both directions of each pair "
+    "feed the per-node ranking), integer-quantized cosine, window "
+    "top-3 per node with (cosine DESC, neighbor) total order. Block "
+    "size bounds the candidate count: B docs per block → B² pairs, "
+    "never corpus²; at scale blocks come from IVF cells or LSH "
+    "buckets instead of labels (same plan shape).",
+    """
+    WITH w AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+      FROM w
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                  i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+               / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cosine
+      FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, cosine, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+)
+def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs(
+        emb, threshold=-1.0, block_col="label", salt=8
+    )
+    # cosine_pairs emits each unordered pair once (id_a < id_b); the kNN
+    # graph ranks DIRECTED edges, so mirror the pairs before the window
+    directed = pairs.selectExpr("id_a AS src", "id_b AS dst", "cosine").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst", "cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        directed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst", "cosine", F.col("rk").cast("int").alias("rk"))
+    )

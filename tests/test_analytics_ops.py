@@ -419,3 +419,43 @@ def test_text_corpus_reads_gzip_shards(spark, tmp_path):
     docs = read_text_corpus(spark, str(d / "*.gz"))
     assert {r.text for r in docs.collect()} == {"alpha doc", "beta doc"}
     assert docs.first().source == "web"
+
+
+def test_compact_crash_matrix_all_kill_points(spark, tmp_path):
+    """Enumerate every crash point of the publish sequence (tmp written /
+    after rename1 / after rename2 / after cleanup) and assert a retry
+    compaction always recovers to a readable table with the right data."""
+    import os
+    import shutil
+
+    from etl_seattle_call_data_spark.operators import maintenance
+
+    def fresh(tag):
+        path = str(tmp_path / f"tbl_{tag}")
+        spark.range(0, 3000).write.parquet(path)
+        return path
+
+    # (a) killed after writing tmp, before any rename
+    p = fresh("a")
+    shutil.copytree(p, p + "__compacting")
+    assert maintenance.compact_parquet(spark, p, target_file_bytes=1 << 30) == 1
+    assert spark.read.parquet(p).count() == 3000
+
+    # (b) killed between the renames (path gone)
+    p = fresh("b")
+    os.rename(p, p + "__old")
+    assert maintenance.compact_parquet(spark, p, target_file_bytes=1 << 30) == 1
+    assert spark.read.parquet(p).count() == 3000
+
+    # (c) killed after the swap, before cleanup (stale __old)
+    p = fresh("c")
+    spark.range(0, 5).write.parquet(p + "__old")
+    assert maintenance.compact_parquet(spark, p, target_file_bytes=1 << 30) == 1
+    assert spark.read.parquet(p).count() == 3000
+    assert not os.path.exists(p + "__old")
+
+    # (d) clean completion then immediate re-run (idempotence)
+    p = fresh("d")
+    maintenance.compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert maintenance.compact_parquet(spark, p, target_file_bytes=1 << 30) == 1
+    assert spark.read.parquet(p).count() == 3000
