@@ -459,3 +459,37 @@ def test_compact_crash_matrix_all_kill_points(spark, tmp_path):
     maintenance.compact_parquet(spark, p, target_file_bytes=1 << 30)
     assert maintenance.compact_parquet(spark, p, target_file_bytes=1 << 30) == 1
     assert spark.read.parquet(p).count() == 3000
+
+
+def test_dq_expectations_report_and_gate(spark):
+    from etl_seattle_call_data_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 150.0), (2, None, 5.0), (4, "d", None)],
+        "id int, name string, score double",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "id int")
+
+    rules = [
+        dq.not_null("name"),
+        dq.unique("id"),
+        dq.in_range("score", 0.0, 100.0),
+        dq.in_set("name", ["a", "b", "d"]),
+        dq.violates_when("score_present_for_named", F.col("name").isNotNull() & F.col("score").isNull()),
+        dq.foreign_key("id", ref, "id"),
+    ]
+    rep = {r.rule: r for r in dq.check_expectations(df, rules).collect()}
+    assert rep["not_null:name"].n_violations == 1
+    assert rep["unique:id"].n_violations == 1           # id=2 twice -> 1 extra row
+    assert rep["in_range:score[0.0,100.0]"].n_violations == 1  # 150.0 (NULL not counted)
+    assert rep["in_set:name"].n_violations == 0
+    assert rep["score_present_for_named"].n_violations == 1    # id=4
+    assert rep["foreign_key:id->id"].n_violations == 1         # id=4 orphaned
+    assert all(r.n_rows == 4 for r in rep.values())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not_null:name"):
+        dq.assert_expectations(df, rules)
+
+    clean = df.filter("id = 1")
+    assert dq.assert_expectations(clean, rules).count() == len(rules)
