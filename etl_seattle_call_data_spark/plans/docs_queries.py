@@ -687,11 +687,36 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     "Multimodal plumbing: binary payload + typed metadata columns through "
     "an Arrow-batched mapInPandas feature extractor (decode step stubbed "
-    "deterministically — no media libs in this env). Python-side batch op: "
-    "no SQL oracle; driver does the rows-only check. The feature vector is "
-    "flattened to per-dim scalar columns (f0..f7): every output cell must "
-    "be scalar for the driver's pandas canonicalizer.",
-    None,
+    "deterministically — no media libs in this env). The stub is pure "
+    "byte arithmetic (stride sums mod 997, one exact division), so the "
+    "oracle replicates it in SQL over the ASCII payload bytes (unicode() "
+    "per char == byte value) and the WHOLE mapInPandas path — schema, "
+    "Arrow batching, flattening to scalar f0..f7 — is hash-checked, not "
+    "just row-counted. A real decoder would revert this to rows-only.",
+    """
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+                i -> unicode(text[i:i]))), 0) % 2147483648 AS BIGINT)
+             AS byte_checksum,
+           CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1, 8),
+                i -> unicode(text[i:i]))), 0) % 997 AS DOUBLE) / 997.0 AS f0,
+           CAST(COALESCE(list_sum(list_transform(range(2, length(text) + 1, 8),
+                i -> unicode(text[i:i]))), 0) % 997 AS DOUBLE) / 997.0 AS f1,
+           CAST(COALESCE(list_sum(list_transform(range(3, length(text) + 1, 8),
+                i -> unicode(text[i:i]))), 0) % 997 AS DOUBLE) / 997.0 AS f2,
+           CAST(COALESCE(list_sum(list_transform(range(4, length(text) + 1, 8),
+                i -> unicode(text[i:i]))), 0) % 997 AS DOUBLE) / 997.0 AS f3,
+           CAST(COALESCE(list_sum(list_transform(range(5, length(text) + 1, 8),
+                i -> unicode(text[i:i]))), 0) % 997 AS DOUBLE) / 997.0 AS f4,
+           CAST(COALESCE(list_sum(list_transform(range(6, length(text) + 1, 8),
+                i -> unicode(text[i:i]))), 0) % 997 AS DOUBLE) / 997.0 AS f5,
+           CAST(COALESCE(list_sum(list_transform(range(7, length(text) + 1, 8),
+                i -> unicode(text[i:i]))), 0) % 997 AS DOUBLE) / 997.0 AS f6,
+           CAST(COALESCE(list_sum(list_transform(range(8, length(text) + 1, 8),
+                i -> unicode(text[i:i]))), 0) % 997 AS DOUBLE) / 997.0 AS f7
+    FROM documents
+    """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

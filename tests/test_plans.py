@@ -338,9 +338,9 @@ def test_no_cartesian_product(spark, name):
 
 def test_registry_metadata_complete():
     """Every registered query carries a substantive description (the
-    scale/parity rationale the judge and future maintainers read) and,
-    except the documented mapInPandas case, an oracle."""
+    scale/parity rationale the judge and future maintainers read) and an
+    oracle — since the multimodal stub gained a byte-arithmetic oracle,
+    the whole registry is hash-checked with zero rows-only exceptions."""
     for name, q in REGISTRY.items():
         assert len(q.description) >= 60, f"{name}: description too thin"
-        if name != "multimodal_features":
-            assert q.oracle is not None, f"{name}: missing oracle"
+        assert q.oracle is not None, f"{name}: missing oracle"
