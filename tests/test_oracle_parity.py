@@ -70,12 +70,10 @@ def test_oracle_parity(spark, name):
     assert not mismatches, f"{name}: {len(mismatches)} differing rows; first={mismatches[0]}"
 
 
-@pytest.mark.parametrize("name", WEAK_QUERIES)
-def test_rows_only(spark, name):
-    q = REGISTRY[name]
-    sdf = q.spark(spark, SF_DIR)
-    assert sdf.count() >= 0
-    assert len(sdf.columns) > 0
+def test_no_rows_only_queries_remain():
+    """Every query is oracle-paired — the rows-only fallback tier is
+    empty (enforced structurally by test_plans.py's metadata test)."""
+    assert WEAK_QUERIES == []
 
 
 def test_entry_smoke(spark):
