@@ -1407,3 +1407,55 @@ def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("src", "dst", "cosine", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL keep multiplicity)
+
+
+@register(
+    "set_ops_all_variants",
+    "Bag-semantics set operations: customer keys of non-urgent orders "
+    "EXCEPT ALL urgent ones (each urgent occurrence cancels ONE "
+    "non-urgent occurrence — multiplicity arithmetic the DISTINCT "
+    "variants destroy), summarized as per-key surviving multiplicity, "
+    "plus the INTERSECT ALL cardinality as a cross-check column. "
+    "Spark's exceptAll/intersectAll plan as aggregate+generate over "
+    "count deltas — one shuffle each, no join explosion.",
+    """
+    WITH surv AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    inter AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT s.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS surplus_non_urgent,
+           CAST((SELECT COUNT(*) FROM inter i WHERE i.o_custkey = s.o_custkey)
+                AS BIGINT) AS n_matched
+    FROM surv s
+    GROUP BY s.o_custkey
+    """,
+)
+def q_set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    non_urgent = o.filter(F.col("o_orderpriority") != "1-URGENT").select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    surv = non_urgent.exceptAll(urgent)
+    inter = non_urgent.intersectAll(urgent).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return (
+        surv.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("surplus_non_urgent"))
+        .join(inter, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            "surplus_non_urgent",
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("bigint").alias("n_matched"),
+        )
+    )
