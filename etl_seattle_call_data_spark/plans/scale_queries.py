@@ -1459,3 +1459,39 @@ def q_set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_matched"), F.lit(0)).cast("bigint").alias("n_matched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery in SELECT (per-row aggregate lookup)
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           COALESCE((SELECT MAX(l_shipdate) FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey),
+                    TIMESTAMP '9999-12-31') AS last_ship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+    FROM orders o
+"""
+
+
+@register(
+    "scalar_subquery_enrichment",
+    "Correlated scalar subqueries in the SELECT list — the per-row "
+    "aggregate-lookup shape (each order's last ship date and line "
+    "count). One ANSI string runs verbatim on both engines; Catalyst "
+    "decorrelates both subqueries into left-outer aggregate joins over "
+    "ONE shared lineitem aggregation (same correlation key → same "
+    "subplan), so the fact table is scanned once, not per-row and not "
+    "per-subquery. Orders with no lines surface the scalar-subquery "
+    "NULL/0 contract: COUNT over empty is 0, and the empty MAX takes "
+    "the 9999-12-31 sentinel (a NULL timestamp canonicalizes as NaT "
+    "vs None across the engines — docs/CROSS_ENGINE.md rule 13).",
+    _SCALAR_SUBQ_SQL,
+)
+def q_scalar_subquery_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    return spark.sql(_SCALAR_SUBQ_SQL)
