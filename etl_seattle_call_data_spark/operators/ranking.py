@@ -1,0 +1,102 @@
+"""Distributed global ranking — exact total-order rank WITHOUT a
+single-partition sort.
+
+``Window.orderBy(...)`` with no partition spec funnels every row through
+ONE task (Spark plans it as Exchange SinglePartition + sort) — correct,
+and fatal at 100 TB. The classic fix is the two-phase global rank:
+
+  1. bucket every row by a *coarse, order-aligned* key (e.g.
+     ``floor(value / width)`` when ranking by ``value``) — all rows of
+     bucket i sort strictly before all rows of bucket j > i;
+  2. count rows per bucket — a tiny aggregate, bounded by
+     (value range / width), NOT by data size — and turn the counts into
+     per-bucket prefix offsets on the driver (the one bounded collect,
+     same legitimate-tiny class as the IVF codebook);
+  3. rank locally inside each bucket (``row_number`` over a window
+     PARTITIONED by the bucket — parallelism = #buckets, each task sorts
+     only its bucket's rows) and add the broadcast offset.
+
+global_rank = offset[bucket] + local_rank is exact for any bucket width;
+the width only tunes the collect size and the per-task row bound (a
+skewed bucket serializes its own population, nothing else). No stage
+sorts more than one bucket; nothing shuffles twice.
+
+``equidepth_bucket`` then maps ranks to NTILE(k)-identical bucket ids
+(first ``n mod k`` buckets take the extra row — ANSI NTILE, which both
+Spark and DuckDB implement), so equi-depth histograms keep their exact
+NTILE oracle while the plan stays parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def two_phase_rank(
+    df: DataFrame,
+    order_by: list[str],
+    coarse: Column,
+    rank_name: str = "global_rank",
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global rank of ``df`` in ``order_by`` order.
+
+    ``coarse`` MUST be order-aligned with the leading ``order_by``
+    column (monotone non-decreasing, e.g. ``floor(col / width)``) and
+    non-null. Returns ``(frame with rank_name column, total row count)``
+    — the count is free (same tiny collect that builds the offsets).
+
+    Scale: one shuffle on the coarse bucket for the local sort, one
+    bounded driver collect of #buckets (cb, count) pairs, one broadcast
+    join of the offsets. No Exchange SinglePartition anywhere.
+    """
+    spark = df.sparkSession
+    bucketed = df.withColumn("__cb", coarse.cast("long"))
+    counts = sorted(
+        (r["__cb"], r["n"])
+        for r in bucketed.groupBy("__cb").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, running = [], 0
+    for cb, n in counts:
+        offsets.append((cb, running))
+        running += n
+    total = running
+    off_df = spark.createDataFrame(offsets, "__cb long, __offset long")
+    local = F.row_number().over(
+        Window.partitionBy("__cb").orderBy(*order_by)
+    )
+    return (
+        bucketed.withColumn("__lrank", local)
+        .join(F.broadcast(off_df), "__cb")
+        .withColumn(rank_name, (F.col("__offset") + F.col("__lrank")).cast("long"))
+        .drop("__cb", "__lrank", "__offset"),
+        total,
+    )
+
+
+def _idiv(a: Column, b: int) -> Column:
+    """Exact integer floor-division of a non-negative long column by a
+    positive literal: (a - a%b)/b divides two exactly-representable
+    doubles with an integer quotient — IEEE round-to-nearest returns it
+    exactly, with none of the near-integer truncation risk a bare
+    ``cast(a/b as int)`` carries."""
+    lit = F.lit(b)
+    return ((a - F.pmod(a, lit)) / lit).cast("long")
+
+
+def equidepth_bucket(rank: Column, n: int, k: int) -> Column:
+    """NTILE(k)-identical bucket id from a 1-based global rank over
+    ``n`` rows: the first ``n mod k`` buckets hold ``ceil(n/k)`` rows,
+    the rest ``floor(n/k)`` — the ANSI NTILE contract both Spark and
+    DuckDB implement, so an exact-NTILE oracle stays valid."""
+    q, rem = divmod(n, k)
+    if q == 0:
+        # fewer rows than buckets: bucket = rank (ANSI: one row each)
+        return rank.cast("int")
+    big = rem * (q + 1)  # rows living in the (q+1)-sized buckets
+    return (
+        F.when(rank <= F.lit(big), F.lit(1) + _idiv(rank - F.lit(1), q + 1))
+        .otherwise(F.lit(rem + 1) + _idiv(rank - F.lit(big + 1), q))
+        .cast("int")
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_seattle_call_data_spark.operators import cdc, similarity, text
+from etl_seattle_call_data_spark.operators import cdc, ranking, similarity, text
 from etl_seattle_call_data_spark.plans.queries import register
 from etl_seattle_call_data_spark.sources.registry import load_table
 
@@ -1245,11 +1245,14 @@ def q_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the complement of the fixed-width histogram (equal RANGES, skewed "
     "counts) and the basis of optimizer column statistics. NTILE ties "
     "are broken by the unique order key, so bucket assignment is total "
-    "and cross-engine identical. Caveat owned: exact NTILE needs one "
-    "global sort of the (totalprice, key) pair — two narrow columns, "
-    "fine into the TB range; at 100 TB the equi-depth boundaries come "
-    "from approxQuantile + range partitioning instead (the exact path "
-    "maintenance.zorder_cluster already implements for its codebooks).",
+    "and cross-engine identical. The Spark side computes the SAME "
+    "NTILE assignment via operators/ranking.py's two-phase global "
+    "rank — coarse value-buckets (width 1000 → ~600 buckets over the "
+    "price range, SF-independent), per-bucket row_number, broadcast "
+    "prefix offsets, rank→bucket by the ANSI NTILE formula — so no "
+    "stage sorts more than one coarse bucket and the plan carries NO "
+    "Exchange SinglePartition (asserted in test_plans.py), versus the "
+    "naive windowless ntile() that funnels every row through one task.",
     """
     WITH ranked AS (
       SELECT o_totalprice,
@@ -1266,12 +1269,16 @@ def q_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_equidepth_histogram_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    ranked = o.select(
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked_df, n = ranking.two_phase_rank(
+        o,
+        order_by=["o_totalprice", "o_orderkey"],
+        coarse=F.floor(F.col("o_totalprice") / F.lit(1000.0)),
+        rank_name="__grank",
+    )
+    ranked = ranked_df.select(
         "o_totalprice",
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bucket"),
+        ranking.equidepth_bucket(F.col("__grank"), n, 10).alias("bucket"),
     )
     return ranked.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),

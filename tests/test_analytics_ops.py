@@ -493,3 +493,47 @@ def test_dq_expectations_report_and_gate(spark):
 
     clean = df.filter("id = 1")
     assert dq.assert_expectations(clean, rules).count() == len(rules)
+
+
+def test_two_phase_rank_matches_global_ntile(spark):
+    """two_phase_rank + equidepth_bucket must reproduce row_number and
+    NTILE over a global sort exactly — including duplicate order values
+    (tie-broken by id), a row count not divisible by k (ragged NTILE
+    buckets), and the n<k degenerate case."""
+    from pyspark.sql.window import Window as W
+
+    from etl_seattle_call_data_spark.operators import ranking
+
+    rows = [(i, float((i * 37) % 50)) for i in range(137)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    ranked, n = ranking.two_phase_rank(
+        df, order_by=["value", "id"], coarse=F.floor(F.col("value") / 7)
+    )
+    assert n == 137
+    w = W.orderBy("value", "id")
+    expect = df.select(
+        "id",
+        F.row_number().over(w).alias("exp_rank"),
+        F.ntile(10).over(w).alias("exp_bucket"),
+    )
+    got = ranked.select(
+        "id",
+        F.col("global_rank").alias("rank"),
+        ranking.equidepth_bucket(F.col("global_rank"), n, 10).alias("bucket"),
+    )
+    joined = got.join(expect, "id").collect()
+    assert len(joined) == 137
+    for r in joined:
+        assert r.rank == r.exp_rank, (r.id, r.rank, r.exp_rank)
+        assert r.bucket == r.exp_bucket, (r.id, r.bucket, r.exp_bucket)
+
+    # n < k: every row its own bucket
+    tiny = spark.createDataFrame([(i, float(i)) for i in range(4)], "id long, value double")
+    tr, tn = ranking.two_phase_rank(tiny, order_by=["value", "id"], coarse=F.lit(0))
+    got_tiny = {
+        r.id: r.b
+        for r in tr.select(
+            "id", ranking.equidepth_bucket(F.col("global_rank"), tn, 10).alias("b")
+        ).collect()
+    }
+    assert got_tiny == {0: 1, 1: 2, 2: 3, 3: 4}

@@ -325,6 +325,16 @@ def test_zorder_narrows_both_columns_per_file(spark, tmp_path_factory):
     assert spark.read.parquet(path).count() == df0.count()
 
 
+def test_equidepth_rank_has_no_single_partition(spark):
+    """The exact-NTILE histogram must NOT plan the naive global-sort
+    window (Exchange SinglePartition + one-task sort): the two-phase
+    rank (operators/ranking.py) keeps every window partitioned by the
+    coarse value bucket and every exchange hash- or broadcast-shaped."""
+    plan = _plan(REGISTRY["equidepth_histogram_totals"].spark(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # still the rank machinery, just partitioned
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_product(spark, name):
     """A CartesianProduct node means a join lost its keys — the
