@@ -431,13 +431,18 @@ def q_ohlc_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Peak interval concurrency per event type, each event held open 5 "
     "minutes: the sweep-line rewrite — explode every interval into a "
     "(+1 start, -1 end) point, running-sum the deltas in time order, "
-    "take the max. O(n log n) with one window shuffle, versus the "
-    "naive self-join on range overlap which is O(n²) candidates and "
-    "unusable at 100 TB. End points sort before coincident starts "
-    "(delta ASC in the tie), so back-to-back intervals never count as "
-    "concurrent; the per-row running sum is tie-order-sensitive but "
-    "its per-partition MAX is not (delta groups at one instant are "
-    "sign-homogeneous), so only the aggregate is emitted.",
+    "take the max — versus the naive self-join on range overlap which "
+    "is O(n²) candidates and unusable at 100 TB. The running sum is "
+    "TWO-PHASE so parallelism scales with the timeline, not the ~5-"
+    "value type key: points window locally inside (type, day) chunks "
+    "(#types × #days partitions), per-day delta totals roll into "
+    "broadcast prefix offsets via a window over the tiny daily "
+    "aggregate, and open_now = local_prefix + offset — no task ever "
+    "serializes more than one type-day of points. End points sort "
+    "before coincident starts (delta ASC in the tie), so back-to-back "
+    "intervals never count as concurrent; the per-row running sum is "
+    "tie-order-sensitive but its MAX is not (delta groups at one "
+    "instant are sign-homogeneous), so only the aggregate is emitted.",
     """
     WITH pts AS (
       SELECT event_type, ts AS t, 1 AS d FROM events
@@ -462,12 +467,32 @@ def q_peak_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
         F.lit(-1).alias("d"),
     )
-    w = (
-        Window.partitionBy("event_type")
+    pts = (
+        starts.unionByName(ends)
+        .withColumn("__day", F.date_trunc("day", F.col("t")))
+    )
+    w_local = (
+        Window.partitionBy("event_type", "__day")
         .orderBy("t", "d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sweep = starts.unionByName(ends).withColumn("open_now", F.sum("d").over(w))
+    local = pts.withColumn("__local", F.sum("d").over(w_local))
+    # per-(type, day) delta totals -> prefix offsets; the window here runs
+    # over the DAILY AGGREGATE (#types x #days rows), not the point stream
+    daily = pts.groupBy("event_type", "__day").agg(F.sum("d").alias("__dd"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = daily.select(
+        "event_type",
+        "__day",
+        F.coalesce(F.sum("__dd").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    sweep = local.join(F.broadcast(offsets), ["event_type", "__day"]).withColumn(
+        "open_now", F.col("__local") + F.col("__offset")
+    )
     return sweep.groupBy("event_type").agg(
         F.max("open_now").cast("bigint").alias("peak_concurrency")
     )
@@ -982,8 +1007,12 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(ts, event_id, type) structs — struct order is total because the "
     "id is unique, so the path is deterministic on any partitioning "
     "(a bare collect_list would be partition-order-dependent and "
-    "irreproducible). One shuffle on user_id bounded by slice(5), one "
-    "on the path key, TakeOrdered top-k.",
+    "irreproducible). The aggregation buffer is HARD-bounded before "
+    "collect_list ever runs: a row_number window keeps only each "
+    "user's first five events, so a hot user with millions of events "
+    "costs a (spillable) window sort, never an unbounded in-memory "
+    "array. One shuffle on user_id (window + agg share it), one on "
+    "the path key, TakeOrdered top-k.",
     """
     WITH paths AS (
       SELECT user_id,
@@ -999,14 +1028,22 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    first5 = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("__rn") <= 5)
+    )
     seq = F.sort_array(
         F.collect_list(F.struct("ts", "event_id", "event_type"))
     )
-    path = F.array_join(
-        F.slice(F.transform(seq, lambda s: s["event_type"]), 1, 5), "->"
-    )
+    path = F.array_join(F.transform(seq, lambda s: s["event_type"]), "->")
     return (
-        ev.groupBy("user_id")
+        first5.groupBy("user_id")
         .agg(path.alias("path"))
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
