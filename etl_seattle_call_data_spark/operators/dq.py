@@ -1,17 +1,21 @@
 """Declarative data-quality expectations — the reusable operator behind
-the dq_audit query: a rule list is evaluated against a frame in ONE
-aggregation pass (plus one anti-join per referential rule), producing a
-violations report row per rule.
+the dq_audit query: a rule list compiles to ONE lazy Catalyst plan whose
+report (one row per rule) materializes in a single Spark action.
 
-Design for 100 TB: every column rule compiles to a conditional-count
-expression inside a single `agg()` — one scan, map-side partials, no
-per-rule job. Referential rules are key-only anti-joins (build side is
-the referenced key set — broadcastable). Nothing collects but the
-report (one row per rule).
+Design for 100 TB: every column rule (not_null / range / set / custom
+predicate) becomes a conditional-count expression inside a single
+``agg()`` — one scan, map-side partials, no per-rule job. Uniqueness
+rules add one groupBy over the key column; referential rules add one
+key-only anti-join (build side is the referenced key set —
+broadcastable). The per-rule scalar rows are then stitched together
+with broadcast one-row joins and a generator unpivot, so NOTHING runs
+until the caller acts on the report — six rules is one job, not six
+(the driver-side-orchestration anti-pattern the round-3 audit query
+exhibited and this rewrite retires).
 
-The operator returns DATA (a report DataFrame), not an exception —
-gating is the caller's policy (`assert_expectations` raises on any
-violation for pipeline use).
+The operator returns DATA (a lazy report DataFrame), not an exception —
+gating is the caller's policy (`assert_expectations` collects and raises
+on any violation).
 """
 
 from __future__ import annotations
@@ -73,45 +77,121 @@ def foreign_key(column: str, ref: DataFrame, ref_column: str) -> Rule:
     )
 
 
+# --------------------------------------------------------------------------
+# Lazy scalar building blocks (each: a ONE-ROW frame; combined by
+# broadcast joins so any number of them still collapses into one action)
+
+
+def scalar_join(first: DataFrame, *rest: DataFrame) -> DataFrame:
+    """Stitch one-row frames into one wide one-row frame via broadcast
+    nested-loop joins (1-row build sides — never CartesianProduct)."""
+    out = first
+    for frame in rest:
+        out = out.crossJoin(F.broadcast(frame))
+    return out
+
+
+def fk_orphan_count(
+    df: DataFrame, column: str, ref: DataFrame, ref_column: str, alias: str
+) -> DataFrame:
+    """Lazy one-row count of ``df`` rows whose non-null ``column`` has no
+    match in ``ref.ref_column`` — the key-only anti-join (both sides
+    prune to the key column; the distinct reference key set is the
+    broadcastable build side)."""
+    keys = ref.select(F.col(ref_column).alias(column)).filter(
+        F.col(column).isNotNull()
+    ).distinct()
+    return (
+        df.select(column)
+        .filter(F.col(column).isNotNull())
+        .join(keys, column, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias(alias))
+    )
+
+
+def duplicate_key_count(
+    df: DataFrame, column: str, alias: str, count_keys: bool = False
+) -> DataFrame:
+    """Lazy one-row duplication measure over ``column``: excess rows
+    (sum of count-1, default — 0 means unique) or, with ``count_keys``,
+    the number of DISTINCT key values appearing more than once."""
+    grouped = df.groupBy(column).agg(F.count(F.lit(1)).alias("__n")).filter(
+        F.col("__n") > 1
+    )
+    measure = (
+        F.count(F.lit(1)) if count_keys
+        else F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+    )
+    return grouped.agg(measure.cast("long").alias(alias))
+
+
 def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
-    """Evaluate all rules; returns a report frame
-    (rule, n_violations, n_rows, passed) with one row per rule."""
-    spark = df.sparkSession
+    """Compile all rules into ONE lazy plan; returns a report frame
+    (rule, n_violations, n_rows, passed) with one row per rule, in rule
+    order. Nothing executes until the caller acts on the report."""
+    names = [r.name for r in rules]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate rule names would silently collapse in the report: "
+            f"{sorted(dupes)}"
+        )
+
     agg_rules = [r for r in rules if r.kind in ("not_null", "custom")]
-    exprs = [F.count(F.lit(1)).alias("__n_rows")]
-    for r in agg_rules:
+    exprs = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
+    for i, r in enumerate(agg_rules):
         bad = F.col(r.column).isNull() if r.kind == "not_null" else r.predicate
-        exprs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(r.name))
-    base = df.agg(*exprs).first()
-    n_rows = base["__n_rows"]
+        exprs.append(
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+        )
+    base = df.agg(*exprs)
+    n_rows_row = base.select("__n_rows")
 
-    report: list[tuple[str, int]] = [(r.name, int(base[r.name])) for r in agg_rules]
-
+    pieces: list[DataFrame] = []
+    if agg_rules:
+        # unpivot the single agg row into (rule, n_violations) via stack —
+        # one Generate over one row, n_rows rides along
+        stack_args = ", ".join(
+            f"'{r.name}', __v{i}" for i, r in enumerate(agg_rules)
+        )
+        pieces.append(
+            base.select(
+                F.expr(
+                    f"stack({len(agg_rules)}, {stack_args}) "
+                    "AS (rule, n_violations)"
+                ),
+                "__n_rows",
+            )
+        )
     for r in rules:
         if r.kind == "unique":
-            dupes = (
-                df.groupBy(r.column)
-                .count()
-                .filter(F.col("count") > 1)
-                .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)))
-                .first()[0]
-            )
-            report.append((r.name, int(dupes)))
+            one = duplicate_key_count(df, r.column, "n_violations")
         elif r.kind == "foreign_key":
-            orphans = df.select(F.col(r.column)).filter(
-                F.col(r.column).isNotNull()
-            ).join(
-                r.ref.select(F.col(r.ref_column).alias(r.column)).distinct(),
-                r.column,
-                "left_anti",
-            ).count()
-            report.append((r.name, int(orphans)))
+            one = fk_orphan_count(df, r.column, r.ref, r.ref_column, "n_violations")
+        else:
+            continue
+        pieces.append(
+            scalar_join(one, n_rows_row).select(
+                F.lit(r.name).alias("rule"), "n_violations", "__n_rows"
+            )
+        )
 
     order = {r.name: i for i, r in enumerate(rules)}
-    report.sort(key=lambda t: order[t[0]])
-    return spark.createDataFrame(
-        [(name, n, n_rows, n == 0) for name, n in report],
-        "rule string, n_violations long, n_rows long, passed boolean",
+    when_idx = F.create_map(
+        *[F.lit(x) for kv in order.items() for x in kv]
+    )[F.col("rule")]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return (
+        out.withColumn("__idx", when_idx)
+        .orderBy("__idx")
+        .select(
+            "rule",
+            "n_violations",
+            F.col("__n_rows").alias("n_rows"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
     )
 
 

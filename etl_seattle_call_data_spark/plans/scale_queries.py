@@ -725,10 +725,13 @@ def q_skew_report_lineitem_orderkey(spark: SparkSession, sf_dir: str) -> DataFra
     "Warehouse data-quality gate as one report row: orphan lineitems "
     "(no parent order), orders with a dangling customer key, duplicate "
     "order keys, null-key rows, and the total row counts the rates are "
-    "judged against. Each check is an anti-join or aggregate the "
-    "optimizer plans independently; at 100 TB the anti-joins broadcast "
-    "their key-only build sides and nothing scans twice thanks to "
-    "column pruning (key columns only).",
+    "judged against. Built ENTIRELY from operators/dq.py's lazy scalar "
+    "primitives — key-only anti-joins, a duplicate-key aggregate, and "
+    "one multi-aggregate pass over orders — stitched with broadcast "
+    "one-row joins into a single Catalyst plan: ONE Spark action "
+    "materializes all six numbers (the round-3 version ran six driver-"
+    "side jobs and scanned orders four times). Anti-join build sides "
+    "are the pruned key sets — broadcastable at any SF.",
     """
     SELECT
       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
@@ -746,32 +749,36 @@ def q_skew_report_lineitem_orderkey(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def q_dq_audit_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import dq
+
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
-    orphans = li.join(
-        o.select("o_orderkey").filter(F.col("o_orderkey").isNotNull()),
-        li["l_orderkey"] == o["o_orderkey"],
-        "left_anti",
-    ).count()
-    dangling = o.join(
-        c.select("c_custkey").filter(F.col("c_custkey").isNotNull()),
-        o["o_custkey"] == c["c_custkey"],
-        "left_anti",
-    ).count()
-    dupes = (
-        o.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    orphans = dq.fk_orphan_count(
+        li, "l_orderkey", o.select(F.col("o_orderkey")), "o_orderkey",
+        "orphan_lineitems",
     )
-    nulls = o.filter(F.col("o_orderkey").isNull()).count()
-    # the scalar counts are driver-side ints (six numbers, not data);
-    # assembling them into one report row is the legitimate-tiny class
-    return load_table(spark, sf_dir, "region").limit(1).select(
-        F.lit(orphans).cast("bigint").alias("orphan_lineitems"),
-        F.lit(dangling).cast("bigint").alias("dangling_customer_fk"),
-        F.lit(dupes).cast("bigint").alias("duplicate_orderkeys"),
-        F.lit(nulls).cast("bigint").alias("null_orderkeys"),
-        F.lit(o.count()).cast("bigint").alias("n_orders"),
-        F.lit(li.count()).cast("bigint").alias("n_lineitems"),
+    dangling = dq.fk_orphan_count(
+        o, "o_custkey", c.select(F.col("c_custkey")), "c_custkey",
+        "dangling_customer_fk",
+    )
+    dupes = dq.duplicate_key_count(
+        o, "o_orderkey", "duplicate_orderkeys", count_keys=True
+    )
+    o_stats = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_orderkeys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    li_stats = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
+    return dq.scalar_join(orphans, dangling, dupes, o_stats, li_stats).select(
+        "orphan_lineitems",
+        "dangling_customer_fk",
+        "duplicate_orderkeys",
+        "null_orderkeys",
+        "n_orders",
+        "n_lineitems",
     )
 
 

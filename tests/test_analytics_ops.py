@@ -537,3 +537,16 @@ def test_two_phase_rank_matches_global_ntile(spark):
         ).collect()
     }
     assert got_tiny == {0: 1, 1: 2, 2: 3, 3: 4}
+
+
+def test_dq_duplicate_rule_names_raise(spark):
+    from etl_seattle_call_data_spark.operators import dq
+
+    df = spark.createDataFrame([(1,)], "id int")
+    rules = [
+        dq.violates_when("check", F.col("id") < 0),
+        dq.violates_when("check", F.col("id") > 10),
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate rule names"):
+        dq.check_expectations(df, rules)

@@ -354,3 +354,26 @@ def test_registry_metadata_complete():
     for name, q in REGISTRY.items():
         assert len(q.description) >= 60, f"{name}: description too thin"
         assert q.oracle is not None, f"{name}: missing oracle"
+
+
+def test_dq_audit_constructs_lazily(spark):
+    """The audit must be ONE deferred Catalyst plan: building the
+    report frame runs ZERO Spark jobs (the round-3 version ran six
+    driver-side actions inside the query body); the whole six-number
+    row materializes in the caller's single action."""
+    sc = spark.sparkContext
+    try:
+        # baseline: the three load_table calls alone (spark.read.parquet
+        # runs IO-metadata jobs — file listing / footer schema reads)
+        sc.setJobGroup("dq_lazy_base", "probe")
+        for t in ("orders", "lineitem", "customer"):
+            load_table(spark, SF, t)
+        base = len(sc.statusTracker().getJobIdsForGroup("dq_lazy_base"))
+        # full audit construction must add ZERO jobs beyond those reads
+        sc.setJobGroup("dq_lazy_probe", "probe")
+        df = REGISTRY["dq_audit_orders_lineitem"].spark(spark, SF)
+        probe = len(sc.statusTracker().getJobIdsForGroup("dq_lazy_probe"))
+        assert probe <= base, (probe, base)
+        assert df.count() == 1
+    finally:
+        sc.setJobGroup("", "")
