@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_seattle_call_data_spark.operators import dedup, sampling, text
-from etl_seattle_call_data_spark.operators.util import cache_swap
+from etl_seattle_call_data_spark.operators.util import cache_swap, register_cached
 
 
 @dataclass(frozen=True)
@@ -62,11 +62,19 @@ def build_training_corpus(
     ``[{stage, rows_in, rows_out}, ...]`` (forces one count per stage
     boundary — the numbers every corpus release ships with)."""
     report: list[dict] = []
+    # key hygiene (util.cache_swap docstring): bake the INPUT's identity
+    # into every stage key — two pipelines over different corpora in one
+    # session must not evict each other's entries. The semantic hash of
+    # the analyzed input plan is a plan-side fingerprint (no job).
+    run_tag = f"{id_col}:{text_col}:{docs._jdf.queryExecution().analyzed().semanticHash()}"
+    stage_keys: list[str] = []
 
     def stage(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
         # cache the survivor frame: it feeds both the count and the next
         # stage, and several stages re-reference their input repeatedly
-        out = cache_swap(f"corpus_pipeline:{name}", after)
+        key = f"corpus_pipeline:{run_tag}:{name}"
+        out = cache_swap(key, after)
+        stage_keys.append(key)
         report.append(
             {"stage": name, "rows_in": before.count(), "rows_out": out.count()}
         )
@@ -136,4 +144,10 @@ def build_training_corpus(
     report.append(
         {"stage": "split", "rows_in": report[-1]["rows_out"], "rows_out": report[-1]["rows_out"]}
     )
+    # release intermediate stage caches now the report counts are taken:
+    # every stage is materialized, so only the LAST survivor frame (the
+    # returned corpus's direct parent) still earns its executor memory —
+    # earlier stages would otherwise stay pinned for the session lifetime
+    for key in stage_keys[:-1]:
+        register_cached(key, None)
     return out, report

@@ -496,7 +496,8 @@ def scalar_quantize_stats(
     to [0, levels]. Returns per-vector parity evidence — the exact
     integer code sum and the max absolute reconstruction error — rather
     than reassembled arrays (order-free aggregates hash identically
-    cross-engine; ``floor`` avoids round-half rule divergence).
+    cross-engine; ``floor`` avoids round-half rule divergence; a
+    corpus-constant dimension maps to code 0 instead of dividing 0/0).
 
     Scale: posexplode fans the corpus ×dims once; the per-dim stats
     table is dims-sized and broadcasts back; codes re-aggregate per
@@ -512,13 +513,19 @@ def scalar_quantize_stats(
         exploded.join(F.broadcast(stats), "dim")
         .withColumn(
             "code",
-            F.least(
-                F.greatest(
-                    F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * levels),
-                    F.lit(0),
-                ),
-                F.lit(levels),
-            ).cast("long"),
+            # constant dimension (mx == mn): 0/0 would be NaN on Spark but
+            # an error in DuckDB's CAST — pin code 0 on both engines
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * levels),
+                        F.lit(0),
+                    ),
+                    F.lit(levels),
+                )
+            )
+            .cast("long"),
         )
         .withColumn(
             "err",

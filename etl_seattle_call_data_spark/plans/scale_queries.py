@@ -229,7 +229,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus maps every value to an integer code floor((x-mn)/(mx-mn)"
     "·255) clamped to [0,255]; parity evidence per vector is the exact "
     "integer code sum plus the max absolute reconstruction error "
-    "(order-free aggregates; floor sidesteps round-half divergence). "
+    "(order-free aggregates; floor sidesteps round-half divergence; a "
+    "corpus-constant dimension pins to code 0 on both engines rather "
+    "than hitting 0/0 — NaN on Spark, a CAST error in DuckDB). "
     "Scale: one posexplode (×dims), a dims-sized stats broadcast, one "
     "re-aggregation — no collect, no driver state.",
     """
@@ -242,8 +244,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     coded AS (
       SELECT vec_id, x.x, mn, mx,
-             LEAST(GREATEST(CAST(floor((x.x - mn) / (mx - mn) * 255) AS BIGINT),
-                            0), 255) AS code
+             CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(GREATEST(
+                         CAST(floor((x.x - mn) / (mx - mn) * 255) AS BIGINT),
+                         0), 255)
+             END AS code
       FROM x JOIN stats USING (dim)
     )
     SELECT vec_id,
@@ -355,10 +360,12 @@ def q_corpus_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey,
            arg_max(o_orderkey,
-                   CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey)
+                   (epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000)
+                     * 1000000000 + o_orderkey)
              AS last_orderkey,
            arg_max(o_orderpriority,
-                   CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey)
+                   (epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000)
+                     * 1000000000 + o_orderkey)
              AS state,
            MAX(o_orderdate) AS updated_at
     FROM orders
@@ -390,13 +397,17 @@ def q_latest_order_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash aggregate with min_by/max_by instead of a window sort over "
     "the full stream. Ordering ties broken by the unique event_id via "
     "the same collision-free BIGINT encoding as latest_order_maxby; "
-    "values pass through untouched (no float arithmetic to diverge).",
+    "values pass through untouched (no float arithmetic to diverge). "
+    "The oracle's epoch term is epoch_us//1000000 — TRUNCATION, like "
+    "Spark's unix_timestamp — because DuckDB's epoch() ROUNDS "
+    "fractional seconds (CROSS_ENGINE rule 11; rounding only masked "
+    "by monotone event ids in the generated data).",
     """
     SELECT event_type,
            date_trunc('hour', ts) AS bar_hour,
-           arg_min(value, CAST(epoch(ts) AS BIGINT) * 1000000000 + event_id)
+           arg_min(value, (epoch_us(ts) // 1000000) * 1000000000 + event_id)
              AS open_value,
-           arg_max(value, CAST(epoch(ts) AS BIGINT) * 1000000000 + event_id)
+           arg_max(value, (epoch_us(ts) // 1000000) * 1000000000 + event_id)
              AS close_value,
            MAX(value) AS high_value,
            MIN(value) AS low_value,

@@ -478,3 +478,17 @@ def test_build_training_corpus_end_to_end(spark):
         }
     finally:
         out.unpersist()
+
+
+def test_scalar_quantize_constant_dimension_is_code_zero(spark):
+    """A corpus-constant dimension must quantize to code 0 (not 0/0 NaN):
+    the guard keeps Spark and the DuckDB oracle identical on degenerate
+    dims and the reconstruction error exactly zero there."""
+    from etl_seattle_call_data_spark.operators import similarity
+
+    rows = [(i, [float(i), 7.5]) for i in range(4)]  # dim1 constant
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in similarity.scalar_quantize_stats(df).collect()}
+    # dim0 spans [0,3] -> codes 0,85,170,255; dim1 contributes code 0
+    assert got[0].code_sum == 0 and got[3].code_sum == 255
+    assert got[0].max_abs_err == 0.0  # both dims reconstruct exactly for vec 0

@@ -3,11 +3,17 @@ times against a previous round's table (BENCH_DETAIL or a driver
 BENCH_r{N}.json tail) and flag regressions.
 
 Usage: python tools/bench_regress.py [old.json] [--threshold 1.5]
-Defaults to diffing against the round-1 table in BASELINE.md is not
-machine-readable; pass the old BENCH_DETAIL.json you committed."""
+                                     [--grace 0.5] [--new detail.json]
+
+A query regresses when new > threshold * old + grace: the ratio catches
+real slowdowns, the additive grace keeps sub-second timer noise from
+failing the gate. Defaults to diffing against BENCH_r01.json (BASELINE.md
+itself is prose, not machine-readable); pass the BENCH_DETAIL.json you
+committed last round for the per-round gate."""
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 
@@ -33,16 +39,22 @@ def load_queries(path: str) -> dict[str, float]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1])
-    old_path = args[0] if args else "BENCH_r01.json"
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old", nargs="?", default="BENCH_r01.json",
+                    help="previous round's BENCH_DETAIL.json / BENCH_r{N}.json")
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="multiplicative regression bar (default 1.5x)")
+    ap.add_argument("--grace", type=float, default=0.0,
+                    help="additive seconds of timer-noise allowance")
+    ap.add_argument("--new", dest="new_path", default="BENCH_DETAIL.json")
+    ns = ap.parse_args()
+    thr, grace, old_path = ns.threshold, ns.grace, ns.old
     old = load_queries(old_path)
-    new = load_queries("BENCH_DETAIL.json")
+    new = load_queries(ns.new_path)
     common = sorted(set(old) & set(new))
-    regressed = [(n, old[n], new[n]) for n in common if new[n] > thr * old[n]]
+    regressed = [
+        (n, old[n], new[n]) for n in common if new[n] > thr * old[n] + grace
+    ]
     improved = [(n, old[n], new[n]) for n in common if new[n] < old[n] / thr]
     import math
     gm = math.exp(sum(math.log(new[n] / old[n]) for n in common) / len(common)) if common else 1.0
