@@ -49,7 +49,11 @@ def main() -> None:
 
     # Full per-query detail goes to a file (stable across rounds, diffable);
     # the stdout line stays compact so the driver's tail capture parses it.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # Non-default SFs write a side file: BENCH_DETAIL.json is the committed
+    # sf0.1 regression baseline and a verify-time sf0.001 run must not
+    # overwrite it (tools/bench_regress.py also refuses cross-SF diffs).
+    detail_name = "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump(
             {

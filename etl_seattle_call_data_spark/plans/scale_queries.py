@@ -472,14 +472,24 @@ def q_ohlc_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_peak_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    starts = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d"))
-    ends = ev.select(
-        "event_type",
-        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
-        F.lit(-1).alias("d"),
-    )
+    # both sweep points of every interval from ONE pruned (type, ts) scan
+    # — a UNION of start/end projections would scan events once per arm
+    # per consumer (4 scans here: the window branch and the daily-total
+    # branch each read both arms)
     pts = (
-        starts.unionByName(ends)
+        ev.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.struct(F.col("ts").alias("t"), F.lit(1).alias("d")),
+                    F.struct(
+                        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("event_type", F.col("p.t").alias("t"), F.col("p.d").alias("d"))
         .withColumn("__day", F.date_trunc("day", F.col("t")))
     )
     w_local = (
@@ -488,8 +498,8 @@ def q_peak_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = pts.withColumn("__local", F.sum("d").over(w_local))
-    # per-(type, day) delta totals -> prefix offsets; the window here runs
-    # over the DAILY AGGREGATE (#types x #days rows), not the point stream
+    # per-(type, day) delta totals -> prefix offsets; a map-side partial
+    # aggregate over the same point stream (tiny shuffle: #types x #days)
     daily = pts.groupBy("event_type", "__day").agg(F.sum("d").alias("__dd"))
     w_off = (
         Window.partitionBy("event_type")

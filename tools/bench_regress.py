@@ -18,11 +18,11 @@ import json
 import sys
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_queries(path: str) -> tuple[dict[str, float], float | None]:
     with open(path) as f:
         doc = json.load(f)
     if "queries" in doc and isinstance(doc["queries"], dict):
-        return doc["queries"]
+        return doc["queries"], doc.get("sf")
     # driver BENCH_r{N}.json: try the tail capture
     tail = doc.get("tail", "")
     start = tail.find('"queries"')
@@ -34,7 +34,7 @@ def load_queries(path: str) -> dict[str, float]:
         depth += ch == "{"
         depth -= ch == "}"
         if depth == 0:
-            return json.loads(obj[: i + 1])
+            return json.loads(obj[: i + 1]), None
     raise SystemExit(f"{path}: truncated queries dict")
 
 
@@ -49,8 +49,15 @@ def main() -> int:
     ap.add_argument("--new", dest="new_path", default="BENCH_DETAIL.json")
     ns = ap.parse_args()
     thr, grace, old_path = ns.threshold, ns.grace, ns.old
-    old = load_queries(old_path)
-    new = load_queries(ns.new_path)
+    old, old_sf = load_queries(old_path)
+    new, new_sf = load_queries(ns.new_path)
+    if old_sf is not None and new_sf is not None and old_sf != new_sf:
+        # a verify-time sf0.001 run once polluted the committed baseline —
+        # cross-SF time comparisons are meaningless, so refuse loudly
+        raise SystemExit(
+            f"SF mismatch: {old_path} is sf={old_sf}, {ns.new_path} is "
+            f"sf={new_sf}; re-run bench.py at the matching SF"
+        )
     common = sorted(set(old) & set(new))
     regressed = [
         (n, old[n], new[n]) for n in common if new[n] > thr * old[n] + grace

@@ -25,6 +25,16 @@ assert len(open("/tmp/bench_out.txt").read()) < 1900, "bench line too long for d
 print(f"bench OK: {d['n']} queries, {d['value']}s at sf={d['sf']}")
 PY
 
+echo "=== 3b/4 bench regression gate (vs last committed BENCH_DETAIL) ==="
+prev_commit=$(git rev-list -1 HEAD -- BENCH_DETAIL.json)
+if [ -n "$prev_commit" ]; then
+  git show "$prev_commit":BENCH_DETAIL.json > /tmp/bench_prev.json
+  # regression = >1.3x the committed time AND >0.5s absolute drift
+  python tools/bench_regress.py /tmp/bench_prev.json --threshold 1.3 --grace 0.5 || fail=1
+else
+  echo "no committed BENCH_DETAIL.json yet; skipping"
+fi
+
 echo "=== 4/4 plan markers ==="
 python tools/plan_dump.py >/dev/null 2>&1 && echo "plans OK" || { echo "FAIL: unexpected plan markers"; fail=1; }
 
