@@ -551,3 +551,4 @@ from etl_seattle_call_data_spark.plans import behavior_queries  # noqa: E402,F40
 from etl_seattle_call_data_spark.plans import mlprep_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import tpch_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import scale_queries  # noqa: E402,F401
+from etl_seattle_call_data_spark.plans import wave4_queries  # noqa: E402,F401
