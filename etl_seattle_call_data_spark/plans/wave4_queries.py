@@ -230,3 +230,386 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("type_a", "type_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (support / confidence / lift) over market baskets
+
+
+@register(
+    "association_rules_lift",
+    "Association-rule mining over order baskets: for the top-20 part "
+    "pairs by lift, emit exact co-occurrence count, support (ONE IEEE "
+    "division), and fixed-point confidence/lift — (n_ab*10^6) DIV n_a "
+    "and (n_ab*n*10^6) DIV (n_a*n_b) — integer DIV on both engines, so "
+    "no libm/rounding divergence. Candidate pairs are the bounded "
+    "basket self-join (Σ basket², ~7-line baskets); item counts join "
+    "back on the part key (AQE broadcasts the smaller side); the "
+    "basket-count scalar is a broadcast one-row frame. Fixed-point "
+    "headroom: n·n_ab·10^6 needs < 9.2e18 — fine through ~10^8 "
+    "baskets; beyond that drop the scale factor (docstring contract).",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+           FROM items),
+    item_counts AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM items GROUP BY l_partkey
+    ),
+    pair_counts AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, n_ab,
+           CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+           CAST((n_ab * 1000000) // ia.n_item AS BIGINT) AS confidence_fp,
+           CAST((n_ab * n_baskets * 1000000) // (ia.n_item * ib.n_item)
+                AS BIGINT) AS lift_fp
+    FROM pair_counts
+    JOIN item_counts ia ON ia.l_partkey = part_a
+    JOIN item_counts ib ON ib.l_partkey = part_b
+    CROSS JOIN nb
+    ORDER BY lift_fp DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    nb = items.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_baskets")
+    )
+    item_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    ia = item_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_item_a")
+    )
+    ib = item_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_item_b")
+    )
+    joined = (
+        pair_counts.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(nb))
+    )
+    return (
+        joined.select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n_baskets").cast("double"))
+            .alias("support"),
+            F.expr("CAST((n_ab * 1000000) DIV n_item_a AS BIGINT)").alias(
+                "confidence_fp"
+            ),
+            F.expr(
+                "CAST((n_ab * n_baskets * 1000000) DIV (n_item_a * n_item_b)"
+                " AS BIGINT)"
+            ).alias("lift_fp"),
+        )
+        .orderBy(F.desc("lift_fp"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted (Bernoulli) sampling
+
+
+@register(
+    "sample_weighted_bernoulli",
+    "Weighted Bernoulli sample — each document kept with probability "
+    "0.2·(n_chars/max_chars), implemented as a SEEDLESS deterministic "
+    "filter: portable-md5 bucket(doc_id) · max_chars < n_chars · "
+    "200000, all-integer (no float probability, no RNG, no partition "
+    "sensitivity — the weighted analog of sample_hash_orders). The "
+    "max-weight scalar is one broadcast row; the sample itself is a "
+    "narrow filter over the scan. Adding documents never flips "
+    "existing keep decisions (hash is per-row), the property "
+    "reservoir/randomSplit sampling lacks.",
+    """
+    WITH mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS max_chars
+                FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents, mx
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000) * max_chars
+          < n_chars * 200000
+    """,
+)
+def q_sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").cast("bigint").alias("max_chars"))
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter(
+            hash_bucket("doc_id", 1_000_000) * F.col("max_chars")
+            < F.col("n_chars") * F.lit(200_000)
+        )
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank, 3 fixed-point iterations (iterative graph algorithm, exact)
+
+
+_PR_TOTAL = 1_000_000_000_000  # rank mass in integer micro-units
+
+
+@register(
+    "pagerank_copurchase_3iter",
+    "PageRank (3 damped iterations, d=0.85) over the part co-purchase "
+    "graph — the iterative graph algorithm family (label propagation's "
+    "weighted cousin) made CROSS-ENGINE EXACT by fixed-point integer "
+    "arithmetic: rank mass lives in 10^12 integer units, every "
+    "contribution is rank DIV degree and every damping step is "
+    "(85·Σ) DIV 100 — no float accumulation order to diverge. Spark "
+    "runs the canonical rank-join loop (edges ⋈ ranks → groupBy dst; "
+    "ranks move, edges don't — the cached edge list shuffles once); "
+    "the oracle unrolls the same three iterations as CTEs. The one "
+    "driver value is the bounded node-count scalar (IVF-codebook "
+    "class). Isolated parts (never co-purchased) are out of graph by "
+    "definition; the symmetric edge set leaves no dangling nodes.",
+    f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    edges AS (
+      SELECT part_a AS src, part_b AS dst FROM prs
+      UNION ALL
+      SELECT part_b AS src, part_a AS dst FROM prs
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS (SELECT node, d, CAST({_PR_TOTAL} // n_nodes AS BIGINT) AS r
+           FROM deg, nn),
+    s1 AS (SELECT e.dst AS node, SUM(r0.r // r0.d) AS s
+           FROM edges e JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+    r1 AS (SELECT r0.node, r0.d,
+                  CAST((({_PR_TOTAL} * 15) // 100) // nn.n_nodes
+                       + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS r
+           FROM r0 LEFT JOIN s1 ON s1.node = r0.node CROSS JOIN nn),
+    s2 AS (SELECT e.dst AS node, SUM(r1.r // r1.d) AS s
+           FROM edges e JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+    r2 AS (SELECT r1.node, r1.d,
+                  CAST((({_PR_TOTAL} * 15) // 100) // nn.n_nodes
+                       + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS r
+           FROM r1 LEFT JOIN s2 ON s2.node = r1.node CROSS JOIN nn),
+    s3 AS (SELECT e.dst AS node, SUM(r2.r // r2.d) AS s
+           FROM edges e JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+    r3 AS (SELECT r2.node, r2.d,
+                  CAST((({_PR_TOTAL} * 15) // 100) // nn.n_nodes
+                       + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS r
+           FROM r2 LEFT JOIN s3 ON s3.node = r2.node CROSS JOIN nn)
+    SELECT node AS part, d AS degree, r AS rank_fp
+    FROM r3
+    ORDER BY rank_fp DESC, part
+    LIMIT 50
+    """,
+)
+def q_pagerank_copurchase_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators.util import cache_memo
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .drop("__w")
+    )
+    edges = cache_memo(
+        "pagerank:edges",
+        ("copurchase", sf_dir),
+        lambda: prs.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        ).unionByName(
+            prs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        ),
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    n_nodes = deg.count()  # bounded scalar (node count), IVF-codebook class
+    base_fp = ((_PR_TOTAL * 15) // 100) // n_nodes
+    ranks = deg.withColumn("r", F.lit(_PR_TOTAL // n_nodes).cast("bigint"))
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"), F.col("r"), F.col("d")
+                ),
+                "src",
+            )
+            .withColumn("c", F.expr("r DIV d"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, "node", "left")
+            .select(
+                "node",
+                "d",
+                (
+                    F.lit(base_fp)
+                    + F.expr("(85 * COALESCE(s, 0)) DIV 100")
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("part"),
+            F.col("d").alias("degree"),
+            F.col("r").alias("rank_fp"),
+        )
+        .orderBy(F.desc("rank_fp"), "part")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# One exact k-means iteration over integer-quantized embeddings
+
+
+@register(
+    "kmeans_assign_update",
+    "One full k-means iteration (assign + centroid update) over the "
+    "embedding corpus, CROSS-ENGINE EXACT via integer quantization: "
+    "vectors quantize to round(x·1000) ints (the dedup_semantic "
+    "contract), distances are exact integer squared-L2, argmin ties "
+    "break on centroid id, and updated centroids are per-dimension "
+    "integer means (sum DIV count). Seeds are the first k=8 vec_ids — "
+    "deterministic, no RNG. Spark shape: the 8-centroid table "
+    "broadcasts into a nested-loop scoring join (8x fan-out, never "
+    "corpus²); assignment is a window argmin; the update is one "
+    "posexplode + (cluster, dim) aggregate. Per-cluster parity "
+    "evidence: member count, total squared distance, and the centroid "
+    "checksum (Σ over dims) — order-free exact integers.",
+    """
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+                  i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS BIGINT)
+               AS d2
+      FROM qv v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    dims AS (
+      SELECT a.cid, i AS dim, v.q[i] AS x
+      FROM assigned a JOIN qv v USING (vec_id), range(1, 65) t(i)
+    ),
+    newc AS (
+      SELECT cid, dim,
+             CAST(SUM(x) // COUNT(*) AS BIGINT) AS c_new
+      FROM dims GROUP BY cid, dim
+    ),
+    checks AS (
+      SELECT cid, CAST(SUM(c_new) AS BIGINT) AS centroid_checksum
+      FROM newc GROUP BY cid
+    )
+    SELECT a.cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(a.d2) AS BIGINT) AS total_sqdist,
+           c.centroid_checksum
+    FROM assigned a JOIN checks c ON c.cid = a.cid
+    GROUP BY a.cid, c.centroid_checksum
+    """,
+)
+def q_kmeans_assign_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("q"),
+    )
+    cents = qv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    scored = qv.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(
+            F.zip_with("q", "cq", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    assigned = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid")),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    dims = assigned.join(qv, "vec_id").select(
+        "cid", F.posexplode("q").alias("dim", "x")
+    )
+    newc = dims.groupBy("cid", "dim").agg(
+        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("c_new")
+    )
+    checks = newc.groupBy("cid").agg(
+        F.sum("c_new").cast("bigint").alias("centroid_checksum")
+    )
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("d2").cast("bigint").alias("total_sqdist"),
+        )
+        .join(
+            F.broadcast(checks.select(F.col("cid").alias("cluster_id"),
+                                      "centroid_checksum")),
+            "cluster_id",
+        )
+    )

@@ -377,3 +377,31 @@ def test_dq_audit_constructs_lazily(spark):
         assert df.count() == 1
     finally:
         sc.setJobGroup("", "")
+
+
+def test_copurchase_pairs_bounded_plan(spark):
+    """Market-basket pairs: dedup exchanges on the (order, part) key,
+    ONE pair-key exchange for the count, TakeOrdered for the top-20 —
+    and never a nested-loop/cartesian expansion."""
+    import re
+
+    plan = _plan(REGISTRY["copurchase_part_pairs"].spark(spark, SF), mode="simple")
+    assert "TakeOrdered" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pair_exchanges = [
+        ln for ln in plan.splitlines()
+        if re.search(r"Exchange hashpartitioning\(part_a", ln)
+    ]
+    assert len(pair_exchanges) == 1  # the single pair-key shuffle
+
+
+def test_knn_graph_single_block_shuffle(spark):
+    """kNN graph: the only data shuffle is the block key (salted pairs
+    live inside blocks); candidate generation is hash joins, never
+    nested-loop."""
+    import re
+
+    plan = _plan(REGISTRY["knn_graph_blocked"].spark(spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # blocks join via (broadcast) hash
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
