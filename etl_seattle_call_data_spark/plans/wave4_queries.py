@@ -613,3 +613,138 @@ def q_kmeans_assign_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (tokenizer training, step 1)
+
+
+@register(
+    "bpe_first_merge_pairs",
+    "Tokenizer training's first BPE step: the 20 most frequent adjacent "
+    "character pairs across the corpus, weighted by word frequency. The "
+    "scale trick IS the classic BPE one — aggregate the corpus to its "
+    "WORD VOCABULARY first (corpus-size shuffle happens once, on the "
+    "word key), then explode character positions over vocab entries "
+    "only: pair-candidate work is bounded by Σ vocab word lengths, not "
+    "corpus tokens. All counts exact integers; substr/sequence index "
+    "semantics (1-based, end-exclusive range) align across engines.",
+    """
+    WITH words AS (
+      SELECT lower(t) AS w
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS t
+            FROM documents)
+      WHERE regexp_matches(lower(t), '^[a-z]+$')
+    ),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, f
+      FROM (
+        SELECT w, f, unnest(range(1, length(w))) AS i
+        FROM vocab WHERE length(w) >= 2
+      )
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(text.tokens("text")).alias("t"))
+        .select(F.lower("t").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "f",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.expr("substr(w, i, 2)").alias("pair"), "f")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-distribution matching (importance resampling for training mix)
+
+
+@register(
+    "length_distribution_match",
+    "Distribution-matching downsample: documents resampled so every "
+    "length bucket (n_chars DIV 1000, capped at 4) contributes at most "
+    "an equal share (n_total DIV 5) — the importance-resampling shape "
+    "used to rebalance pretraining mixtures toward a target length/"
+    "domain profile. Keep decision is the all-integer deterministic "
+    "filter portable_hash_bucket(doc_id)·actual_b < 10^6·target "
+    "(overrepresented buckets thin proportionally, underrepresented "
+    "ones keep everything — min(1, target/actual) with zero float "
+    "probability). Bucket populations are a 5-row broadcast; the "
+    "sample itself is a narrow filter. Report: per-bucket before/after "
+    "counts.",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(LEAST(n_chars // 1000, 4) AS BIGINT) AS bucket
+      FROM documents
+    ),
+    actual AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_bucket FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b),
+    kept AS (
+      SELECT b.doc_id, b.bucket
+      FROM b JOIN actual USING (bucket) CROSS JOIN tot
+      WHERE (('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000) * actual.n_bucket
+            < 1000000 * (tot.n_total // 5)
+    )
+    SELECT a.bucket, a.n_bucket AS n_before,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_after
+    FROM actual a
+    LEFT JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_kept
+               FROM kept GROUP BY bucket) k
+      ON k.bucket = a.bucket
+    """,
+)
+def q_length_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.expr("CAST(LEAST(n_chars DIV 1000, 4) AS BIGINT)").alias("bucket"),
+    )
+    actual = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bucket")
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    kept = (
+        b.join(F.broadcast(actual), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            hash_bucket("doc_id", 1_000_000) * F.col("n_bucket")
+            < F.lit(1_000_000) * F.expr("n_total DIV 5")
+        )
+    )
+    kept_counts = kept.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return actual.join(F.broadcast(kept_counts), "bucket", "left").select(
+        "bucket",
+        F.col("n_bucket").alias("n_before"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_after"),
+    )
