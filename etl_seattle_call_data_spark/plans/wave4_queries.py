@@ -748,3 +748,75 @@ def q_length_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bucket").alias("n_before"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass feature-store build (wide per-document feature projection)
+
+
+@register(
+    "doc_feature_matrix",
+    "Feature-store build: seven per-document features — token count, "
+    "distinct-token count, fixed-point type/token ratio, char sum, max "
+    "word length, digit-token count, uppercase-initial count — in ONE "
+    "narrow projection over ONE scan (array expressions only: no "
+    "shuffle, no join, no UDF; whole-stage codegen end to end). The "
+    "shape that matters at 100 TB: training-data feature extraction "
+    "must be a map-only pass, not a per-feature pipeline — adding a "
+    "feature is adding a column expression, not a job. Ratio is "
+    "integer fixed-point ((n_types*10^6) DIV n_tokens) — exact on "
+    "both engines.",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           CAST((len(list_distinct(toks)) * 1000000) // len(toks) AS BIGINT)
+             AS ttr_fp,
+           CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+                AS BIGINT) AS char_sum,
+           CAST(list_max(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+                AS BIGINT) AS max_word_len,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))
+                AS BIGINT) AS n_digit_tokens,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Z]')))
+                AS BIGINT) AS n_capitalized
+    FROM tok
+    WHERE len(toks) > 0
+    """,
+)
+def q_doc_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    lens = F.transform(toks, lambda t: F.length(t).cast("long"))
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("char_sum"),
+        F.array_max(lens).cast("long").alias("max_word_len"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("n_digit_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Z]")))
+        .cast("long")
+        .alias("n_capitalized"),
+    ).filter(F.col("n_tokens") > 0)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.expr("CAST((n_types * 1000000) DIV n_tokens AS BIGINT)").alias("ttr_fp"),
+        "char_sum",
+        "max_word_len",
+        "n_digit_tokens",
+        "n_capitalized",
+    )
