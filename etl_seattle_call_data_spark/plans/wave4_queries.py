@@ -820,3 +820,104 @@ def q_doc_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_digit_tokens",
         "n_capitalized",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encoding — the ANN compression workhorse
+
+
+@register(
+    "pq_encode_embeddings",
+    "Product-quantization encode over the embedding corpus — the "
+    "compression scheme behind IVF-PQ indices: the 64-dim vector splits "
+    "into 8 subspaces of 8 dims, each subspace has a 4-centroid "
+    "codebook (deterministic seeds: vec_ids 0-3, integer-quantized), "
+    "and every vector encodes to 8 two-bit codes packed into one "
+    "BIGINT (Σ code_s·4^s). Exact integer squared-L2 per subspace, "
+    "argmin ties on centroid id. Spark shape: the 32-row codebook "
+    "broadcasts into an equi-join on the subspace key (4x bounded "
+    "fan-out), argmin is a window over (vec, subspace), packing is one "
+    "re-aggregation — corpus shuffles once on vec_id. Parity: packed "
+    "code + total quantization error, both exact integers.",
+    """
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, s, q[s * 8 + 1 : s * 8 + 8] AS sv
+      FROM qv, (SELECT unnest(range(0, 8)) AS s)
+    ),
+    cents AS (
+      SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 4
+    ),
+    scored AS (
+      SELECT u.vec_id, u.s, c.cid,
+             CAST(list_sum(list_transform(range(1, 9),
+                  i -> (u.sv[i] - c.cv[i]) * (u.sv[i] - c.cv[i])))
+                  AS BIGINT) AS d2
+      FROM sub u JOIN cents c ON c.s = u.s
+    ),
+    best AS (
+      SELECT vec_id, s, cid, d2 FROM (
+        SELECT vec_id, s, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(SUM(cid * (CAST(1 AS BIGINT) << (2 * s))) AS BIGINT)
+             AS pq_code,
+           CAST(SUM(d2) AS BIGINT) AS total_sq_err
+    FROM best GROUP BY vec_id
+    """,
+)
+def q_pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("q"),
+    )
+    sub = qv.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"),
+        "q",
+    ).select(
+        "vec_id", "s", F.expr("slice(q, s * 8 + 1, 8)").alias("sv")
+    )
+    cents = sub.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sv").alias("cv")
+    )
+    scored = sub.join(F.broadcast(cents), "s").select(
+        "vec_id",
+        "s",
+        "cid",
+        F.aggregate(
+            F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "s").orderBy("d2", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(F.expr("cid * shiftleft(CAST(1 AS BIGINT), 2 * s)"))
+        .cast("bigint")
+        .alias("pq_code"),
+        F.sum("d2").cast("bigint").alias("total_sq_err"),
+    )
