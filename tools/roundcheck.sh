@@ -12,6 +12,11 @@ python tools/verify_oracle.py 2>&1 | tail -3 || fail=1
 echo "=== 1b/4 full oracle sweep (sf0.001 — emptiness bugs are SF-dependent) ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/verify_oracle.py 2>&1 | tail -2 || fail=1
 
+if [ "${SPARK_GRAFT_FULL_SWEEP:-0}" = "1" ]; then
+  echo "=== 1c/4 full oracle sweep (sf0.1 — above-gate scale; ~12 min) ==="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/verify_oracle.py 2>&1 | tail -2 || fail=1
+fi
+
 echo "=== 2/4 pytest ==="
 python -m pytest tests/ -q 2>&1 | tail -2 || fail=1
 
