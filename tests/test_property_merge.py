@@ -134,3 +134,33 @@ def test_sweepline_peak_matches_bruteforce(spark, intervals):
         .first()[0]
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# two_phase_rank: distributed global rank must equal the Python model
+# on arbitrary value multisets (heavy ties, skewed coarse buckets,
+# negative values, all-equal inputs)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=25),
+)
+def test_two_phase_rank_matches_sorted_model(spark, values, width):
+    from pyspark.sql import functions as F
+
+    from etl_seattle_call_data_spark.operators import ranking
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    ranked, n = ranking.two_phase_rank(
+        df, order_by=["v", "id"], coarse=F.floor(F.col("v") / width)
+    )
+    assert n == len(values)
+    got = {r.id: r.global_rank for r in ranked.collect()}
+    expect = {
+        id_: rnk + 1
+        for rnk, (v, id_) in enumerate(sorted((v, i) for i, v in rows))
+    }
+    assert got == expect

@@ -719,3 +719,57 @@ def test_stream_into_versioned_table(spark, tmp_path):
     assert len(t.history()) == 2
     assert t.read(spark, version=1).count() == 1
     assert {r.k for r in t.read(spark).collect()} == {"b"}  # latest epoch only
+
+
+def test_dq_gate_quarantines_and_passes(spark, tmp_path):
+    """Streaming DQ gate: a micro-batch stream with malformed rows
+    routes violations (tagged with every failed rule) to quarantine and
+    clean rows onward — one tagging pass per batch, not one job per
+    rule. Referential rule checks against a static frame via broadcast."""
+    from etl_seattle_call_data_spark.operators import dq
+    from etl_seattle_call_data_spark.streaming.dq_gate import quarantining_writer
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"k": 1, "v": 10.0, "ref": 100},   # clean
+        {"k": 2, "v": None, "ref": 100},   # not_null(v)
+        {"k": 3, "v": 500.0, "ref": 100},  # in_range(v)
+        {"k": 4, "v": 5.0, "ref": 999},    # fk(ref)
+        {"k": 5, "v": None, "ref": 999},   # two violations
+    ]
+    (src / "batch0.json").write_text(
+        "\n".join(json.dumps(r) for r in rows)
+    )
+    ref = spark.createDataFrame([(100,), (101,)], "ref_id int")
+    rules = [
+        dq.not_null("v"),
+        dq.in_range("v", 0.0, 100.0),
+        dq.foreign_key("ref", ref, "ref_id"),
+    ]
+    clean_rows, quar_rows = [], []
+    writer = quarantining_writer(
+        rules,
+        lambda df, _e: clean_rows.extend(df.collect()),
+        lambda df, _e: quar_rows.extend(df.collect()),
+    )
+    stream = (
+        spark.readStream.schema("k int, v double, ref int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r.k for r in clean_rows} == {1}
+    got = {r.k: sorted(r.dq_violations) for r in quar_rows}
+    assert got[2] == ["not_null:v"]
+    assert got[3] == ["in_range:v[0.0,100.0]"]
+    assert got[4] == ["foreign_key:ref->ref_id"]
+    assert got[5] == ["foreign_key:ref->ref_id", "not_null:v"]
+    # clean rows carry no gate columns
+    assert "dq_violations" not in clean_rows[0].asDict()
