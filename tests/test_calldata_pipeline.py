@@ -173,3 +173,22 @@ def test_full_pipeline_with_catalog_registration(spark, tmp_path):
     from etl_seattle_call_data_spark.sinks import ParquetDirSink, register_star_tables
 
     register_star_tables(spark, ParquetDirSink(str(tmp_path / "out")), database="serving_test")
+
+
+def test_cli_list_run_and_write(spark, tmp_path, capsys):
+    """The CLI surface: list filters by glob, run executes a registered
+    query (bounded stdout by default, distributed write with --out)."""
+    from etl_seattle_call_data_spark.__main__ import main
+
+    assert main(["list", "events_*"]) == 0
+    out = capsys.readouterr().out
+    assert "events_by_type" in out
+
+    dest = str(tmp_path / "cli_out")
+    assert main([
+        "run", "events_by_type", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", dest, "--format", "parquet",
+    ]) == 0
+    assert spark.read.parquet(dest).count() == 5
+
+    assert main(["run", "no_such_query"]) == 2
