@@ -921,3 +921,57 @@ def q_pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pq_code"),
         F.sum("d2").cast("bigint").alias("total_sq_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contiguous sequence-pattern detection (MATCH_RECOGNIZE-style, bounded)
+
+
+@register(
+    "contiguous_funnel_pattern",
+    "Sequence-pattern detection: users whose event stream contains a "
+    "CONTIGUOUS view→click→purchase triple (no intervening event) — "
+    "the MATCH_RECOGNIZE shape, expressed as two LEADs over the "
+    "per-user time order so state per row is exactly two lookaheads "
+    "(never a collected path array — the unbounded-buffer trap "
+    "top_event_paths taught). One window shuffle on user_id; the "
+    "per-user flag is a plain aggregate over match markers. Output: "
+    "matching users and their match count.",
+    """
+    WITH w AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t1,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t2
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' AND t1 = 'click'
+                              AND t2 = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matches
+    FROM w GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'view' AND t1 = 'click'
+                         AND t2 = 'purchase' THEN 1 ELSE 0 END) > 0
+    """,
+)
+def q_contiguous_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    match = F.when(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase"),
+        1,
+    ).otherwise(0)
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum(match).cast("bigint").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
