@@ -405,3 +405,21 @@ def test_knn_graph_single_block_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # blocks join via (broadcast) hash
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join strategy is controllable per-join when AQE's choice is
+    wrong for a workload: SHUFFLE_HASH avoids the sort of SMJ for
+    build-side-fits-memory fact joins; MERGE forces SMJ for
+    sort-amortized pipelines. Both hints must survive planning."""
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        assert "ShuffledHashJoin" in _plan(sh, mode="simple")
+        mg = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        assert "SortMergeJoin" in _plan(mg, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
