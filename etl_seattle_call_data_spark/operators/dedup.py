@@ -160,24 +160,19 @@ def _minhash_from_shingles(sh: DataFrame, num_hashes: int, id_col: str) -> DataF
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    threshold: float,
+def minhash_band_candidates(
+    sh: DataFrame,
     num_hashes: int = 8,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
 ) -> DataFrame:
-    """MinHash LSH near-duplicate pairs: band the signature, bucket-join
-    on (band index, band value) for candidates, then verify with exact
-    Jaccard ≥ threshold (no false positives; recall set by the banding)."""
+    """LSH candidate pairs from a shingle table — the PRE-verification
+    band bucket join, exposed so eval harnesses can measure candidate
+    recall/precision against exact Jaccard (dedup_lsh_recall_eval).
+    Banded (band_idx, band_val) equi-join; fan-out bounded by bucket
+    population, never corpus²."""
     assert num_hashes % rows_per_band == 0
     num_bands = num_hashes // rows_per_band
-    # one persisted shingle set feeds signatures, candidate verification,
-    # and set sizes — the whole LSH pipeline tokenizes the corpus ONCE
-    # (key shared with jaccard_pairs: same corpus → same cache)
-    sh = cache_swap("doc_shingles", shingle_sets(df, id_col, text_col, n))
     sig = _minhash_from_shingles(sh, num_hashes, id_col)
     bands = F.array(
         *[
@@ -195,8 +190,32 @@ def minhash_lsh_pairs(
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
-    candidates = (
-        a.join(b, ["band_idx", "band_val"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash LSH near-duplicate pairs: band the signature, bucket-join
+    on (band index, band value) for candidates, then verify with exact
+    Jaccard ≥ threshold (no false positives; recall set by the banding)."""
+    # one persisted shingle set feeds signatures, candidate verification,
+    # and set sizes — the whole LSH pipeline tokenizes the corpus ONCE
+    # (key shared with jaccard_pairs: same corpus → same cache)
+    sh = cache_swap("doc_shingles", shingle_sets(df, id_col, text_col, n))
+    candidates = minhash_band_candidates(
+        sh, num_hashes=num_hashes, rows_per_band=rows_per_band, id_col=id_col
     )
     # verify ONLY the candidate pairs: restrict the shared-shingle
     # intersection join to candidates instead of computing all-pairs

@@ -1325,3 +1325,85 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.inverted_index(docs)
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate-quality evaluation (recall/precision vs exact Jaccard)
+
+
+def _lsh_recall_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(num_hashes)
+    )
+    bands = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {i} AS band_idx, md5(h{i * rows_per_band} || h{i * rows_per_band + 1}) AS band_val FROM sig"
+        for i in range(num_hashes // rows_per_band)
+    )
+    return f"""
+    WITH {_DUCK_JACCARD},
+    sig AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    exact AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+    tp AS (SELECT c.id_a, c.id_b
+           FROM cand c JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b)
+    SELECT
+      CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+      CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+      CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_true_positive,
+      CAST(((SELECT COUNT(*) FROM tp) * 1000000)
+           // NULLIF((SELECT COUNT(*) FROM exact), 0) AS BIGINT) AS recall_fp,
+      CAST(((SELECT COUNT(*) FROM tp) * 1000000)
+           // NULLIF((SELECT COUNT(*) FROM cand), 0) AS BIGINT) AS precision_fp
+    """
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    "Sketch-quality evaluation harness: MinHash-LSH CANDIDATE pairs "
+    "(pre-verification band buckets) measured against exact Jaccard "
+    "ground truth (uncapped shared-shingle pairs, threshold 0.5) — "
+    "n_exact / n_candidates / true positives plus fixed-point recall "
+    "and precision. This turns the docstring claim 'recall set by the "
+    "banding' into a number the gate checks. All counts exact; ratios "
+    "are integer DIV with NULLIF zero-guards. The candidate set, "
+    "shingle table, and exact pairs all come from the session-shared "
+    "caches, so the eval adds two counts and a semi-join to pipelines "
+    "already running dedup.",
+    _lsh_recall_oracle(),
+)
+def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import dq
+    from etl_seattle_call_data_spark.operators.util import cache_swap
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = cache_swap("doc_shingles", dedup.shingle_sets(docs))
+    cand = cache_swap("lsh_candidates", dedup.minhash_band_candidates(sh))
+    exact = dedup.jaccard_pairs(docs, threshold=0.5, shingles=sh).select(
+        "id_a", "id_b"
+    )
+    tp = cand.join(exact, ["id_a", "id_b"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    nt = tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_positive"))
+    return dq.scalar_join(ne, nc, nt).select(
+        "n_exact",
+        "n_candidates",
+        "n_true_positive",
+        F.expr(
+            "CAST((n_true_positive * 1000000) DIV NULLIF(n_exact, 0) AS BIGINT)"
+        ).alias("recall_fp"),
+        F.expr(
+            "CAST((n_true_positive * 1000000) DIV NULLIF(n_candidates, 0) AS BIGINT)"
+        ).alias("precision_fp"),
+    )
