@@ -1407,3 +1407,100 @@ def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n_true_positive * 1000000) DIV NULLIF(n_candidates, 0) AS BIGINT)"
         ).alias("precision_fp"),
     )
+
+
+@register(
+    "similarity_ivf_recall_eval",
+    "ANN-quality evaluation harness: IVF single-probe top-5 measured "
+    "per query against the brute-force exact top-5 ground truth — "
+    "n_truth / n_ivf / overlap and fixed-point recall@5 per query. The "
+    "single-probe recall loss (queries whose true neighbors live in a "
+    "neighboring cell) becomes a NUMBER the gate checks instead of a "
+    "docstring caveat. Reuses the session-shared centroid codebook and "
+    "both top-k operators; the comparison itself is one semi-join and "
+    "three 10-row aggregates.",
+    f"""
+    WITH w AS ({_DUCK_Q}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_DUCK_COS} DESC, a.vec_id) AS rank
+        FROM w a JOIN w b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ),
+    cand AS (
+      SELECT v.vec_id, c.vec_id AS cvid, {_IVF_DIST} AS d
+      FROM w v JOIN w c ON c.vec_id < 8
+    ),
+    cells AS (
+      SELECT vec_id, cvid AS cell FROM (
+        SELECT vec_id, cvid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cvid) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    bkt AS (SELECT w.*, cells.cell FROM w JOIN cells USING (vec_id)),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_DUCK_COS} DESC, a.vec_id) AS rank
+        FROM bkt a JOIN bkt b
+          ON a.cell = b.cell AND b.vec_id < 10 AND a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ),
+    tc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+           FROM truth GROUP BY query_id),
+    ic AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ivf
+           FROM ivf GROUP BY query_id),
+    ov AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+           FROM truth t JOIN ivf i
+             ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+           GROUP BY t.query_id)
+    SELECT tc.query_id, tc.n_truth,
+           CAST(COALESCE(ic.n_ivf, 0) AS BIGINT) AS n_ivf,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST((COALESCE(ov.n_overlap, 0) * 1000000) // tc.n_truth AS BIGINT)
+             AS recall_fp
+    FROM tc
+    LEFT JOIN ic ON ic.query_id = tc.query_id
+    LEFT JOIN ov ON ov.query_id = tc.query_id
+    """,
+)
+def q_similarity_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    cents = _IVF_CENT_MEMO.get(sf_dir)
+    if cents is None:
+        cents = _IVF_CENT_MEMO[sf_dir] = similarity.seeded_centroids(emb, 8)
+    ivf = similarity.ivf_topk(
+        emb, queries, k=5, n_cells=8, centroids=cents
+    ).select("query_id", "neighbor_id")
+    tc = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    ic = ivf.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ivf")
+    )
+    ov = (
+        truth.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        tc.join(ic, "query_id", "left")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_ivf"), F.lit(0)).cast("bigint").alias("n_ivf"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.expr(
+                "CAST((COALESCE(n_overlap, 0) * 1000000) DIV n_truth AS BIGINT)"
+            ).alias("recall_fp"),
+        )
+    )
