@@ -975,3 +975,149 @@ def q_contiguous_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(match).cast("bigint").alias("n_matches"))
         .filter(F.col("n_matches") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit audit (fraud/anomaly screen, log-free)
+
+
+@register(
+    "benford_leading_digit",
+    "Benford's-law audit of order totals: observed first-significant-"
+    "digit distribution vs the Benford expectation — the classic "
+    "fabricated-numbers screen. Digit extraction is pure string/integer "
+    "work (first char of the integer part — totals are >= 1), counts "
+    "are exact, each observed share is ONE IEEE division, and the "
+    "Benford expectations are literal constants (no log evaluated at "
+    "query time — the repo's log-free rule). One scan, one 9-row "
+    "aggregate.",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS DOUBLE) / CAST(n.n_total AS DOUBLE)
+             AS observed_share,
+           CASE digit
+             WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+             WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+             WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 ELSE 0.045757
+           END AS benford_share
+    FROM d CROSS JOIN n
+    GROUP BY digit, n.n_total
+    """,
+)
+def q_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+            " 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    benford = (
+        F.when(F.col("digit") == 1, 0.301030)
+        .when(F.col("digit") == 2, 0.176091)
+        .when(F.col("digit") == 3, 0.124939)
+        .when(F.col("digit") == 4, 0.096910)
+        .when(F.col("digit") == 5, 0.079181)
+        .when(F.col("digit") == 6, 0.066947)
+        .when(F.col("digit") == 7, 0.057992)
+        .when(F.col("digit") == 8, 0.051153)
+        .otherwise(0.045757)
+    )
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit", "n_total")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            (F.col("n_orders").cast("double") / F.col("n_total").cast("double"))
+            .alias("observed_share"),
+            benford.alias("benford_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datacard (one-row release report)
+
+
+@register(
+    "corpus_datacard",
+    "Corpus datacard — the one-row release report every training-data "
+    "drop ships with: document/source/language counts, token and "
+    "character totals, exact-duplicate rate, and the minimum-length "
+    "quality pass rate. Three lazy aggregates (base stats, distinct "
+    "canonical fingerprints, quality gate) stitched by broadcast "
+    "one-row joins — the dq scalar-join pattern — so the whole card "
+    "is ONE Spark action over two scans of documents. Rates are "
+    "integer fixed-point (DIV), counts exact.",
+    """
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT)
+               AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) >= 20
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+      FROM documents
+    ),
+    uniq AS (
+      SELECT CAST(COUNT(DISTINCT
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+               AS BIGINT) AS n_unique
+      FROM documents
+    )
+    SELECT n_docs, n_sources, n_langs, total_tokens, total_chars,
+           n_unique,
+           CAST(((n_docs - n_unique) * 1000000) // n_docs AS BIGINT)
+             AS dup_rate_fp,
+           n_quality,
+           CAST((n_quality * 1000000) // n_docs AS BIGINT)
+             AS quality_rate_fp
+    FROM base CROSS JOIN uniq
+    """,
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import dq, text
+    from etl_seattle_call_data_spark.operators.dedup import canonical_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = text.token_count("text")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(n_tok.cast("bigint")).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.when(n_tok >= 20, 1).otherwise(0)).cast("bigint").alias("n_quality"),
+    )
+    uniq = docs.agg(
+        F.count_distinct(F.md5(canonical_text(F.col("text"))))
+        .cast("bigint")
+        .alias("n_unique")
+    )
+    return dq.scalar_join(base, uniq).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "total_chars",
+        "n_unique",
+        F.expr("CAST(((n_docs - n_unique) * 1000000) DIV n_docs AS BIGINT)")
+        .alias("dup_rate_fp"),
+        "n_quality",
+        F.expr("CAST((n_quality * 1000000) DIV n_docs AS BIGINT)")
+        .alias("quality_rate_fp"),
+    )

@@ -423,3 +423,42 @@ def test_join_strategy_hints_are_honored(spark):
         assert "SortMergeJoin" in _plan(mg, mode="simple")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew evidence: a join where one key holds ~half the rows must be
+    rescued by AQE's skew-join splitting (the executed SMJ carries
+    skew=true) once broadcast is off and the skew thresholds are at
+    test scale — the runtime behavior salting exists to complement."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # without force, OptimizeSkewedJoin declines when splitting would
+        # add exchanges elsewhere in the test-sized plan
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 200_000
+        hot = spark.range(n).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k",
+            "repeat('x', 128) AS pad",
+        )
+        dim = spark.range(n).selectExpr("id AS k", "id * 2 AS v")
+        j = hot.join(dim, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
