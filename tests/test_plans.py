@@ -462,3 +462,38 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, tmp_path_factory):
+    """Catalog statistics surface: ANALYZE TABLE ... FOR ALL COLUMNS
+    must land rowCount (and column stats) in the optimizer's cost view —
+    the input CBO join-reordering and broadcast decisions read on a
+    real warehouse, where AQE only sees sizes at runtime."""
+    spark.sql("DROP TABLE IF EXISTS stats_orders")
+    load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.saveAsTable("stats_orders")
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        # rowCount propagates through the logical-plan cost view only
+        # under CBO; without it Spark reports sizeInBytes alone
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql(
+            "ANALYZE TABLE stats_orders COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        cost = (
+            spark.sql("SELECT o_custkey, COUNT(*) FROM stats_orders GROUP BY 1")
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("cost")
+            )
+        )
+        assert "rowCount=" in cost
+        desc = spark.sql(
+            "DESCRIBE EXTENDED stats_orders o_custkey"
+        ).collect()
+        info = {r.info_name: r.info_value for r in desc}
+        assert info.get("distinct_count") not in (None, "NULL")
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.sql("DROP TABLE IF EXISTS stats_orders")
