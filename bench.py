@@ -27,8 +27,17 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch overheads.
-    for name in ("events_by_type",):
+    # query, not first-touch overheads — one cheap query per base table
+    # family, else the alphabetically-early queries absorb footer reads
+    # and codegen warmup for everyone (observed: 2x noise on the 'a's).
+    for name in (
+        "events_by_type",          # events
+        "q1_pricing_summary",      # lineitem
+        "profile_orders",          # orders
+        "doc_token_stats",         # documents
+        "embedding_dim_stats",     # embeddings
+        "star_join_region_revenue",  # customer + dims
+    ):
         REGISTRY[name].spark(spark, sf_dir).count()
 
     # best-of-2 per query: single-shot wall clock on a shared box is noisy

