@@ -1182,8 +1182,15 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dv") < F.col("dw"))
         | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
     )
+    # broadcast the edge set into the closure probe: the wedge stream
+    # (Σ outdeg² rows — the big side) never shuffles. At graph sizes
+    # where m no longer broadcasts, drop the hint and let the wedge
+    # stream shuffle on (v, w), or pre-filter it with a runtime bloom
+    # of the edge keys — the docstring contract, not a plan change.
     closed = wedges.join(
-        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        F.broadcast(
+            oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        ),
         ["v", "w"],
         "left_semi",
     )
