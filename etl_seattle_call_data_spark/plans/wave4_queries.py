@@ -1104,16 +1104,20 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "triangle_count_copurchase",
     "Exact triangle count + global clustering coefficient over the part "
-    "co-purchase graph. The Spark plan uses the DEGREE-ORIENTED node-"
+    "co-purchase graph. The Spark plan uses the DEGREE-ORIENTED edge-"
     "iterator (Schank/Wagner): every edge points from its (degree, id)-"
-    "smaller endpoint, wedges pair two out-edges of one source, and a "
-    "semi-join against the oriented edge set closes them — out-degree "
-    "under this orientation is O(sqrt(m)), so wedge fan-out is bounded "
-    "even at hot nodes, the property that makes triangle counting "
-    "feasible at 100 TB. ANY strict vertex order counts each triangle "
-    "exactly once, so the oracle's simple id-ordered 3-way join proves "
-    "the degree-oriented plan. Wedge total is Σ C(deg,2) (exact "
-    "integers); clustering = (3·triangles·10^6) DIV wedges.",
+    "smaller endpoint, out-neighborhoods collect into sorted arrays "
+    "(out-degree under this orientation is O(sqrt(m)), so every array "
+    "is bounded even at hot nodes), and each edge (u,v) contributes "
+    "|N+(u) ∩ N+(v)| via array_intersect — the wedge stream of the "
+    "node-iterator (Σ C(outdeg,2) rows) is never materialized; the "
+    "intersection happens in-row inside codegen. Two bounded equi-joins "
+    "attach the arrays; that is the whole shuffle budget, which is what "
+    "makes exact triangle counting feasible at 100 TB. ANY strict "
+    "vertex order counts each triangle exactly once, so the oracle's "
+    "simple id-ordered 3-way join proves the degree-oriented plan. "
+    "Wedge total is Σ C(deg,2) (exact integers); clustering = "
+    "(3·triangles·10^6) DIV wedges.",
     """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     prs AS (
@@ -1165,36 +1169,41 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    # three consumers (both wedge arms + the closure semi-join) — memoize
-    # the oriented edge list or the degree join runs three times
+    # two consumers (the adjacency build + the edge probe) — memoize the
+    # oriented edge list or the degree join runs twice
     oriented = cache_memo(
         "triangle:oriented",
         ("triangle:oriented", sf_dir),
         lambda: ed.select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
         ),
     )
-    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
-    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
-    wedges = o1.join(o2, "src").filter(
-        (F.col("dv") < F.col("dw"))
-        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    # out-neighborhood arrays: O(sqrt(m))-bounded under degree
+    # orientation, so no hot-node aggregation buffer can blow up
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # edge-iterator: edge (u,v) closes |N+(u) ∩ N+(v)| triangles, each
+    # triangle counted exactly once (w lies in both out-neighborhoods
+    # only for the unique oriented pair u→v). The left join covers sink
+    # nodes with no out-edges; the intersection runs in-row — the
+    # Σ C(outdeg,2) wedge stream of the node-iterator never exists.
+    probed = (
+        oriented.join(
+            adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("u_key"),
+        )
+        .join(
+            adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nv")),
+            F.col("dst") == F.col("v_key"),
+            "left",
+        )
+        .select(
+            F.coalesce(
+                F.size(F.array_intersect("nu", "nv")), F.lit(0)
+            ).alias("tri_e")
+        )
     )
-    # broadcast the edge set into the closure probe: the wedge stream
-    # (Σ outdeg² rows — the big side) never shuffles. At graph sizes
-    # where m no longer broadcasts, drop the hint and let the wedge
-    # stream shuffle on (v, w), or pre-filter it with a runtime bloom
-    # of the edge keys — the docstring contract, not a plan change.
-    closed = wedges.join(
-        F.broadcast(
-            oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-        ),
-        ["v", "w"],
-        "left_semi",
-    )
-    tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    tri = probed.agg(F.sum("tri_e").cast("bigint").alias("n_triangles"))
     wcount = deg.agg(
         F.sum(F.expr("(d * (d - 1)) DIV 2")).cast("bigint").alias("n_wedges"),
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
