@@ -219,3 +219,449 @@ def q_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select("tok_a", "tok_b", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass Pearson correlation matrix
+
+
+def _corr_pair(a: str, b: str) -> str:
+    """Engine-shared correlation expression over the one-row moment CTE:
+    r = (n·Sab − Sa·Sb) / (sqrt(n·Saa − Sa²) · sqrt(n·Sbb − Sb²)), every
+    moment an exact DECIMAL(38,0) integer, ONE double division at the
+    end (sqrt is IEEE-correctly-rounded per CROSS_ENGINE rule 8)."""
+    return (
+        f"CAST(n * s_{a}{b} - s_{a} * s_{b} AS DOUBLE) / "
+        f"(sqrt(CAST(n * s_{a}{a} - s_{a} * s_{a} AS DOUBLE)) * "
+        f"sqrt(CAST(n * s_{b}{b} - s_{b} * s_{b} AS DOUBLE)))"
+    )
+
+
+_CORR_COLS = {"q": "l_quantity", "e": "l_extendedprice", "d": "l_discount", "t": "l_tax"}
+_CORR_PAIRS = [("q", "e"), ("q", "d"), ("q", "t"), ("e", "d"), ("e", "t"), ("d", "t")]
+
+
+@register(
+    "corr_matrix_lineitem",
+    "Pearson correlation matrix over the four lineitem measures "
+    "(quantity, extendedprice, discount, tax) from ONE aggregation "
+    "pass: each measure quantizes to round(x·100) BIGINT, all 14 "
+    "moments (n, 4 sums, 4 squares, 6 cross-products) accumulate as "
+    "exact DECIMAL(38,0) in a single map-side-combined agg — the "
+    "6-pair matrix is then 6 constant-time projections of the one-row "
+    "moment frame. No shuffle beyond the scalar agg; a naive per-pair "
+    "corr() would scan the fact table 6 times. Survives 100x: moment "
+    "magnitudes stay under 10^38 to ~10^9 rows; beyond that the "
+    "docstring contract is per-partition pre-centering (two-pass "
+    "stable covariance), same output columns.",
+    f"""
+    WITH qz AS (
+      SELECT {", ".join(f"CAST(round({col} * 100) AS BIGINT) AS {k}" for k, col in _CORR_COLS.items())}
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             {", ".join(f"SUM(CAST({k} AS DECIMAL(38,0))) AS s_{k}" for k in _CORR_COLS)},
+             {", ".join(f"SUM(CAST({a} * {b} AS DECIMAL(38,0))) AS s_{a}{b}" for a, b in [(x, x) for x in _CORR_COLS] + _CORR_PAIRS)}
+      FROM qz
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{_CORR_COLS[a]}' AS col_a, '{_CORR_COLS[b]}' AS col_b, {_corr_pair(a, b)} AS corr_r FROM m"
+        for a, b in _CORR_PAIRS
+    )}
+    """,
+)
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qz = li.select(
+        *[
+            F.round(F.col(col) * 100).cast("bigint").alias(k)
+            for k, col in _CORR_COLS.items()
+        ]
+    )
+    m = qz.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        *[F.sum(F.col(k).cast("decimal(38,0)")).alias(f"s_{k}") for k in _CORR_COLS],
+        *[
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(f"s_{a}{b}")
+            for a, b in [(x, x) for x in _CORR_COLS] + _CORR_PAIRS
+        ],
+    )
+    parts = [
+        m.select(
+            F.lit(_CORR_COLS[a]).alias("col_a"),
+            F.lit(_CORR_COLS[b]).alias("col_b"),
+            F.expr(_corr_pair(a, b)).alias("corr_r"),
+        )
+        for a, b in _CORR_PAIRS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout + zone-map pruning evidence
+
+
+def _morton(div: str) -> str:
+    """8-bit×8-bit Morton interleave of columns x, y as pure integer
+    arithmetic (bit i via (v {div} 2^i) % 2 — no engine-specific shift
+    operators). ``div`` is 'DIV' for Spark, '//' for DuckDB."""
+    return " + ".join(
+        f"(((x {div} {2**i}) % 2) + 2 * ((y {div} {2**i}) % 2)) * {4**i}"
+        for i in range(8)
+    )
+
+
+@register(
+    "zorder_layout_stats",
+    "Z-order (Morton curve) data layout vs single-dimension layout, "
+    "judged by ZONE-MAP PRUNING: orders map to (x = custkey bucket, "
+    "y = order-day bucket), files are 256 contiguous ranges of either "
+    "the interleaved z-value or the day value, and each layout reports "
+    "how many files a custkey-range predicate (x BETWEEN 16 AND 31) "
+    "must scan given per-file min/max zone maps — the physical-design "
+    "operator behind Delta/Iceberg OPTIMIZE ZORDER. The interleave is "
+    "pure integer arithmetic (no engine shift ops), per-file stats are "
+    "one groupBy per layout, and the verdict is a 2-row table: z-order "
+    "prunes ~15/16 of files on the non-leading dimension, the day "
+    "layout scans everything. Survives 100x: file stats are bounded "
+    "(256 rows), the fact stream is one projection pass per layout.",
+    f"""
+    WITH xy AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  % 256 AS BIGINT) AS y
+      FROM orders
+    ),
+    z AS (SELECT x, y, CAST({_morton("//")} AS BIGINT) AS zval FROM xy),
+    files AS (
+      SELECT 'zorder' AS layout, zval // 256 AS file_id,
+             MIN(x) AS min_x, MAX(x) AS max_x
+      FROM z GROUP BY zval // 256
+      UNION ALL
+      SELECT 'day_linear' AS layout, y AS file_id,
+             MIN(x) AS min_x, MAX(x) AS max_x
+      FROM z GROUP BY y
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN max_x >= 16 AND min_x <= 31 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_files_scanned,
+           CAST(SUM(CASE WHEN max_x >= 16 AND min_x <= 31 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS scan_frac_fp
+    FROM files
+    GROUP BY layout
+    """,
+)
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    xy = o.select(
+        (F.col("o_custkey") % 256).cast("bigint").alias("x"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            % 256
+        ).cast("bigint").alias("y"),
+    )
+    z = xy.select("x", "y", F.expr(_morton("DIV")).cast("bigint").alias("zval"))
+    zf = z.groupBy(F.expr("zval DIV 256").alias("file_id")).agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x")
+    ).select(F.lit("zorder").alias("layout"), "min_x", "max_x")
+    lf = z.groupBy(F.col("y").alias("file_id")).agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x")
+    ).select(F.lit("day_linear").alias("layout"), "min_x", "max_x")
+    files = zf.unionByName(lf)
+    hit = F.when((F.col("max_x") >= 16) & (F.col("min_x") <= 31), 1).otherwise(0)
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(hit).cast("bigint").alias("n_files_scanned"),
+        F.expr(
+            "CAST(SUM(CASE WHEN max_x >= 16 AND min_x <= 31 THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("scan_frac_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter build + MEASURED false-positive rate
+
+
+_BLOOM_BITS = 65536
+
+
+@register(
+    "bloom_filter_fp_eval",
+    "Build a 2^16-bit / 2-hash Bloom filter over urgent-order customer "
+    "keys and MEASURE its false-positive rate by probing every "
+    "customer — the sketch-eval pattern (LSH recall, IVF recall@5) "
+    "applied to the filter that guards 100 TB shuffle joins. Hashes "
+    "are portable md5-derived integers (salted ':b1'/':b2'), the set "
+    "bit list is a bounded DISTINCT (≤2·|members| rows) that "
+    "BROADCASTS into two semi-join probes — the probe stream never "
+    "shuffles, exactly how a runtime bloom prunes a fact scan. Output "
+    "is one row of exact counts + the measured FP rate over true "
+    "non-members in fixed point, checkable against the (1-e^{-kn/m})^k "
+    "analytic bound offline.",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT ('0x' || substr(md5(CAST(k AS VARCHAR) || ':b1'), 1, 15))::BIGINT
+               % {_BLOOM_BITS} AS pos FROM members
+        UNION ALL
+        SELECT ('0x' || substr(md5(CAST(k AS VARCHAR) || ':b2'), 1, 15))::BIGINT
+               % {_BLOOM_BITS} AS pos FROM members
+      )
+    ),
+    probes AS (
+      SELECT c_custkey AS k,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':b1'), 1, 15))::BIGINT
+               % {_BLOOM_BITS} AS h1,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':b2'), 1, 15))::BIGINT
+               % {_BLOOM_BITS} AS h2
+      FROM customer
+    ),
+    hits AS (
+      SELECT k FROM probes
+      WHERE h1 IN (SELECT pos FROM bits) AND h2 IN (SELECT pos FROM bits)
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_pass,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set
+    )
+    SELECT n_members, n_probes, n_pass, n_bits_set,
+           n_pass - n_members AS n_false_pos,
+           CAST((n_pass - n_members) * 1000000
+                // NULLIF(n_probes - n_members, 0) AS BIGINT) AS fp_rate_fp
+    FROM agg
+    """,
+)
+def q_bloom_filter_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def h(col, salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS
+        )
+
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        members.select(h(F.col("k"), ":b1").alias("pos"))
+        .unionByName(members.select(h(F.col("k"), ":b2").alias("pos")))
+        .distinct()
+    )
+    probes = cust.select(
+        F.col("c_custkey").alias("k"),
+        h(F.col("c_custkey"), ":b1").alias("h1"),
+        h(F.col("c_custkey"), ":b2").alias("h2"),
+    )
+    hits = probes.join(
+        F.broadcast(bits.withColumnRenamed("pos", "h1")), "h1", "left_semi"
+    ).join(F.broadcast(bits.withColumnRenamed("pos", "h2")), "h2", "left_semi")
+    agg = dq.scalar_join(
+        members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members")),
+        probes.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes")),
+        hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_pass")),
+        bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set")),
+    )
+    return agg.select(
+        "n_members",
+        "n_probes",
+        "n_pass",
+        "n_bits_set",
+        (F.col("n_pass") - F.col("n_members")).alias("n_false_pos"),
+        F.expr(
+            "CAST((n_pass - n_members) * 1000000"
+            " DIV NULLIF(n_probes - n_members, 0) AS BIGINT)"
+        ).alias("fp_rate_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: power iteration for the top principal direction
+
+
+@register(
+    "power_iteration_top_eigen",
+    "Top principal direction of the embedding corpus via TWO power "
+    "iterations of the (uncentered) Gram matrix — the distributed PCA "
+    "step — without ever materializing the d×d Gram: each iteration is "
+    "v ← normalize(Xᵀ(Xv)), two joins + two aggregates over the "
+    "posexploded (vec, dim, q) triples. CROSS-ENGINE EXACT in fixed "
+    "point: q = round(x·1000), the per-vector projection t = Σ q·v "
+    "DIV 1000, the per-dimension image y = Σ q·t, and normalization "
+    "is (y·1000) DIV max|y| (one bounded scalar broadcast per "
+    "iteration, IVF-codebook class). The 64-row v broadcasts into the "
+    "triple stream; the corpus shuffles only on vec_id then dim — "
+    "the same plan at 10^9 vectors (|y| ≤ n·6.4·10^7 keeps BIGINT "
+    "exact to n ≈ 10^11). Oracle unrolls both iterations as CTEs.",
+    """
+    WITH q AS (
+      SELECT vec_id, i AS dim,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+      FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+    ),
+    t1 AS (SELECT vec_id, SUM(qv * 1000) // 1000 AS t FROM q GROUP BY vec_id),
+    y1 AS (SELECT dim, CAST(SUM(qv * t) AS BIGINT) AS y
+           FROM q JOIN t1 USING (vec_id) GROUP BY dim),
+    m1 AS (SELECT MAX(abs(y)) AS my FROM y1),
+    v1 AS (SELECT dim, (y * 1000) // my AS v FROM y1 CROSS JOIN m1),
+    t2 AS (SELECT q.vec_id, SUM(q.qv * v1.v) // 1000 AS t
+           FROM q JOIN v1 USING (dim) GROUP BY q.vec_id),
+    y2 AS (SELECT dim, CAST(SUM(qv * t) AS BIGINT) AS y
+           FROM q JOIN t2 USING (vec_id) GROUP BY dim),
+    m2 AS (SELECT MAX(abs(y)) AS my FROM y2)
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST((y * 1000) // my AS BIGINT) AS v_fp
+    FROM y2 CROSS JOIN m2
+    ORDER BY dim
+    """,
+)
+def q_power_iteration_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * 1000).cast("bigint").alias("qv"),
+    )
+
+    def iterate(v: DataFrame | None) -> DataFrame:
+        if v is None:
+            t = q.groupBy("vec_id").agg(
+                F.expr("SUM(qv * 1000) DIV 1000").alias("t")
+            )
+        else:
+            t = (
+                q.join(F.broadcast(v), "dim")
+                .groupBy("vec_id")
+                .agg(F.expr("SUM(qv * v) DIV 1000").alias("t"))
+            )
+        return q.join(t, "vec_id").groupBy("dim").agg(
+            F.sum(F.col("qv") * F.col("t")).cast("bigint").alias("y")
+        )
+
+    y1 = iterate(None)
+    m1 = y1.agg(F.max(F.abs(F.col("y"))).alias("my"))
+    v1 = y1.crossJoin(F.broadcast(m1)).select(
+        "dim", F.expr("(y * 1000) DIV my").alias("v")
+    )
+    y2 = iterate(v1)
+    m2 = y2.agg(F.max(F.abs(F.col("y"))).alias("my"))
+    return (
+        y2.crossJoin(F.broadcast(m2))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.expr("CAST((y * 1000) DIV my AS BIGINT)").alias("v_fp"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style replica divergence detection (bucket checksums)
+
+
+@register(
+    "replica_divergence_merkle",
+    "Anti-entropy table sync: find which key-range buckets of a replica "
+    "diverge from the primary by comparing per-bucket row counts + "
+    "md5-digest checksums — the Merkle-tree repair primitive "
+    "(Cassandra/Dynamo) that localizes a diff to O(diverged buckets) "
+    "instead of re-shipping 100 TB. The 'replica' simulates row loss "
+    "(orderkey % 97 = 0 dropped); BOTH sides come from ONE scan via "
+    "conditional aggregates — no self-join, one shuffle on the "
+    "256-bucket key. Checksums sum bounded md5 integers in "
+    "DECIMAL(38,0) (overflow-free to ~10^19 rows/bucket), compared "
+    "modulo 1e9+7 as BIGINT. Output: only the diverged buckets. At "
+    "scale, bucket count grows with data (a tree of ranges), same "
+    "plan shape per level.",
+    """
+    WITH d AS (
+      SELECT o_orderkey % 256 AS bucket,
+             CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END AS keep,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                                 CAST(o_custkey AS VARCHAR) || '|' ||
+                                 CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                      AS VARCHAR)), 1, 15))::BIGINT AS dg
+      FROM orders
+    ),
+    b AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_primary,
+             CAST(SUM(keep) AS BIGINT) AS n_replica,
+             SUM(CAST(dg AS DECIMAL(38,0))) AS chk_p,
+             COALESCE(SUM(CASE WHEN keep = 1 THEN CAST(dg AS DECIMAL(38,0)) END),
+                      CAST(0 AS DECIMAL(38,0))) AS chk_r
+      FROM d GROUP BY bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_primary, n_replica,
+           CAST(chk_p % 1000000007 AS BIGINT) AS chk_primary_mod,
+           CAST(chk_r % 1000000007 AS BIGINT) AS chk_replica_mod
+    FROM b
+    WHERE n_primary <> n_replica OR chk_p <> chk_r
+    """,
+)
+def q_replica_divergence_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dg = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = o.select(
+        (F.col("o_orderkey") % 256).alias("bucket"),
+        F.when(F.col("o_orderkey") % 97 != 0, 1).otherwise(0).alias("keep"),
+        dg.alias("dg"),
+    )
+    b = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_primary"),
+        F.sum("keep").cast("bigint").alias("n_replica"),
+        F.sum(F.col("dg").cast("decimal(38,0)")).alias("chk_p"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep") == 1, F.col("dg").cast("decimal(38,0)"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("chk_r"),
+    )
+    return b.filter(
+        (F.col("n_primary") != F.col("n_replica")) | (F.col("chk_p") != F.col("chk_r"))
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_primary",
+        "n_replica",
+        (F.col("chk_p") % 1000000007).cast("bigint").alias("chk_primary_mod"),
+        (F.col("chk_r") % 1000000007).cast("bigint").alias("chk_replica_mod"),
+    )
