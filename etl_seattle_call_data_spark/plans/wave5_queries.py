@@ -287,18 +287,23 @@ def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in [(x, x) for x in _CORR_COLS] + _CORR_PAIRS
         ],
     )
-    parts = [
-        m.select(
-            F.lit(_CORR_COLS[a]).alias("col_a"),
-            F.lit(_CORR_COLS[b]).alias("col_b"),
-            F.expr(_corr_pair(a, b)).alias("corr_r"),
-        )
-        for a, b in _CORR_PAIRS
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE aggregate feeding all 6 pairs: the matrix rows explode out of
+    # a struct array built over the single one-row moment frame — a
+    # 6-way UNION of SELECTs would re-plan (and re-scan) the aggregate
+    # per branch unless ReusedExchange rescued it at runtime.
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(_CORR_COLS[a]).alias("col_a"),
+                F.lit(_CORR_COLS[b]).alias("col_b"),
+                F.expr(_corr_pair(a, b)).alias("corr_r"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return m.select(F.explode(pair_structs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr_r"
+    )
 
 
 # ---------------------------------------------------------------------------

