@@ -670,3 +670,355 @@ def q_replica_divergence_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("chk_p") % 1000000007).cast("bigint").alias("chk_primary_mod"),
         (F.col("chk_r") % 1000000007).cast("bigint").alias("chk_replica_mod"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill (companion to timeseries_gapfill_locf)
+
+
+@register(
+    "timeseries_interpolate_linear",
+    "Time-series gap filling by LINEAR interpolation between the "
+    "nearest observed neighbors — the numeric upgrade over LOCF for "
+    "sensor/metric series: missing (user, day) cells get "
+    "v_prev + (v_next − v_prev)·(d − d_prev) DIV (d_next − d_prev) in "
+    "exact fixed point (daily sums quantized to round(value·100)). The "
+    "dense spine is generated (sequence+explode, never a source); prev/"
+    "next neighbors come from 4 ignore-nulls window columns in ONE "
+    "per-user window pass; series edges (no neighbor on one side) "
+    "yield the −1 sentinel. Survives 100x: rows = users × horizon, one "
+    "user-keyed shuffle, per-user timelines stay parallel.",
+    """
+    WITH spine AS (
+      SELECT u.user_id, CAST(d.d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS d
+      ) d
+    ),
+    daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT s.user_id, s.day,
+             CAST(date_diff('day', DATE '1970-01-01', s.day) AS BIGINT) AS dd,
+             daily.v
+      FROM spine s LEFT JOIN daily
+        ON s.user_id = daily.user_id AND s.day = daily.day
+    ),
+    nb AS (
+      SELECT user_id, day, dd, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY dd
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+             last_value(CASE WHEN v IS NOT NULL THEN dd END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY dd
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY dd
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+             first_value(CASE WHEN v IS NOT NULL THEN dd END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY dd
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+      FROM j
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           v IS NOT NULL AS observed,
+           CAST(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN vp IS NOT NULL AND vn IS NOT NULL AND dn <> dp
+               THEN vp + ((vn - vp) * (dd - dp)) // (dn - dp)
+             ELSE -1 END AS BIGINT) AS filled_fp
+    FROM nb
+    """,
+)
+def q_timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("v")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dd"),
+        "v",
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("dd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("dd")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    dd_if_obs = F.when(F.col("v").isNotNull(), F.col("dd"))
+    nb = j.select(
+        "user_id",
+        "day",
+        "dd",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("vp"),
+        F.last(dd_if_obs, ignorenulls=True).over(back).alias("dp"),
+        F.first("v", ignorenulls=True).over(fwd).alias("vn"),
+        F.first(dd_if_obs, ignorenulls=True).over(fwd).alias("dn"),
+    )
+    interp = F.expr("vp + ((vn - vp) * (dd - dp)) DIV (dn - dp)")
+    return nb.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("vp").isNotNull()
+            & F.col("vn").isNotNull()
+            & (F.col("dn") != F.col("dp")),
+            interp,
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("filled_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burst dedup: drop near-duplicate events within a time tolerance
+
+
+@register(
+    "event_burst_dedup",
+    "Time-tolerance dedup: within each (user, event_type) stream, "
+    "events closer than 5 s to their predecessor are duplicates of the "
+    "burst leader (double-clicks, sensor chatter, at-least-once "
+    "replays) — keep the first event of every burst. One lag() window "
+    "per (user, type) timeline (full parallelism — the partition key "
+    "cardinality is users × types, never the 5-value type alone), "
+    "microsecond-exact gaps (unix_micros ≡ epoch_us per CROSS_ENGINE "
+    "rule 29), then a per-type rollup of kept vs suppressed counts.",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY epoch_us(ts), event_id) <= 5000000
+                  THEN 0 ELSE 1 END AS is_leader
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_leader) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(is_leader) AS BIGINT) AS n_suppressed
+    FROM g
+    GROUP BY event_type
+    """,
+)
+def q_event_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    g = ev.select(
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) <= 5_000_000,
+            0,
+        )
+        .otherwise(1)
+        .alias("is_leader"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("is_leader").cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("is_leader")).cast("bigint").alias("n_suppressed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov divergence between two order populations
+
+
+@register(
+    "source_divergence_ks",
+    "Two-sample Kolmogorov–Smirnov statistic between odd- and even-"
+    "customer order-price distributions on an equi-width 256-bucket "
+    "grid — the drift detector that needs NO logarithms (cf. the chi² "
+    "sibling): D = max |CDF_a − CDF_b|, computed exactly in integers "
+    "as max |cum_a·n_b − cum_b·n_a| with ONE final fixed-point "
+    "division. Both populations bucket in a single conditional-"
+    "aggregate scan (no self-join); the CDF cumsum runs over the "
+    "BOUNDED 256-row bucket table — a single-partition window over "
+    "sketch-sized state, never over data (the same bounded-window "
+    "contract as the equidepth boundary table).",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice) AS BIGINT) // 2000, 255) AS bucket,
+             CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END AS a
+      FROM orders
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(SUM(a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - a) AS BIGINT) AS n_b
+      FROM b GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket,
+             SUM(n_a) OVER (ORDER BY bucket) AS ca,
+             SUM(n_b) OVER (ORDER BY bucket) AS cb,
+             SUM(n_a) OVER () AS ta,
+             SUM(n_b) OVER () AS tb
+      FROM c
+    ),
+    d AS (
+      SELECT bucket, abs(ca * tb - cb * ta) AS dev, ta, tb FROM cum
+    ),
+    mx AS (SELECT MAX(dev) AS mdev FROM d)
+    SELECT CAST(d.ta AS BIGINT) AS n_odd,
+           CAST(d.tb AS BIGINT) AS n_even,
+           CAST(MIN(d.bucket) AS BIGINT) AS ks_at_bucket,
+           CAST(mx.mdev * 1000000 // (d.ta * d.tb) AS BIGINT) AS ks_fp
+    FROM d JOIN mx ON d.dev = mx.mdev
+    GROUP BY d.ta, d.tb, mx.mdev
+    """,
+)
+def q_source_divergence_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.least(
+            F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 2000"), F.lit(255)
+        ).alias("bucket"),
+        F.when(F.col("o_custkey") % 2 == 1, 1).otherwise(0).alias("a"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("a")).cast("bigint").alias("n_b"),
+    )
+    # bounded 256-row window: single partition over sketch-sized state
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = c.select(
+        "bucket",
+        F.sum("n_a").over(wcum).alias("ca"),
+        F.sum("n_b").over(wcum).alias("cb"),
+        F.sum("n_a").over(wall).alias("ta"),
+        F.sum("n_b").over(wall).alias("tb"),
+    )
+    d = cum.select(
+        "bucket",
+        F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")).alias("dev"),
+        "ta",
+        "tb",
+    )
+    mx = d.agg(F.max("dev").alias("mdev"))
+    return (
+        d.join(F.broadcast(mx), d["dev"] == mx["mdev"])
+        .groupBy("ta", "tb", "mdev")
+        .agg(F.min("bucket").cast("bigint").alias("ks_at_bucket"))
+        .select(
+            F.col("ta").cast("bigint").alias("n_odd"),
+            F.col("tb").cast("bigint").alias("n_even"),
+            "ks_at_bucket",
+            F.expr("CAST(mdev * 1000000 DIV (ta * tb) AS BIGINT)").alias("ks_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncated EWMA (8-lag, α = 1/2) per user event stream
+
+
+_EWMA_W = [2 ** (7 - k) for k in range(8)]  # 128, 64, ..., 1
+
+
+@register(
+    "ewma_user_value",
+    "Exponentially weighted moving average of each user's event values "
+    "(α=1/2, truncated at 8 lags) evaluated at the user's latest "
+    "event — the recursive smoother made CROSS-ENGINE EXACT by "
+    "unrolling to integer lag weights 128..1 over round(value·100) "
+    "quantities: ewma_fp = Σ wᵏ·vₖ DIV Σ wᵏ (weights only for lags "
+    "that exist, so early-series rows stay exact). One window pass per "
+    "user timeline (8 lag() columns share the single sort), top-25 "
+    "users by final EWMA with full tie-break. The 8-term truncation "
+    "bounds state per row — the full recursion needs running-product "
+    "state no engine shares exactly.",
+    f"""
+    WITH v AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS q,
+             epoch_us(ts) AS tu, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagd AS (
+      SELECT user_id, q, tu, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tu DESC, event_id DESC)
+               AS rdesc,
+             {", ".join(
+                 f"lag(q, {k}) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS l{k}"
+                 for k in range(1, 8)
+             )}
+      FROM v
+    ),
+    e AS (
+      SELECT user_id,
+             ({" + ".join(["q * 128"] + [f"COALESCE(l{k} * {_EWMA_W[k]}, 0)" for k in range(1, 8)])})
+             // (128{"".join(f" + CASE WHEN l{k} IS NOT NULL THEN {_EWMA_W[k]} ELSE 0 END" for k in range(1, 8))})
+               AS ewma_fp
+      FROM lagd WHERE rdesc = 1
+    )
+    SELECT user_id, CAST(ewma_fp AS BIGINT) AS ewma_fp FROM e
+    ORDER BY ewma_fp DESC, user_id LIMIT 25
+    """,
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("q"),
+        F.unix_micros("ts").alias("tu"),
+        "event_id",
+    )
+    asc = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    desc = Window.partitionBy("user_id").orderBy(
+        F.col("tu").desc(), F.col("event_id").desc()
+    )
+    lagd = v.select(
+        "user_id",
+        "q",
+        F.row_number().over(desc).alias("rdesc"),
+        *[F.lag("q", k).over(asc).alias(f"l{k}") for k in range(1, 8)],
+    )
+    num = " + ".join(
+        ["q * 128"] + [f"COALESCE(l{k} * {_EWMA_W[k]}, 0)" for k in range(1, 8)]
+    )
+    den = "128" + "".join(
+        f" + CASE WHEN l{k} IS NOT NULL THEN {_EWMA_W[k]} ELSE 0 END"
+        for k in range(1, 8)
+    )
+    return (
+        lagd.filter(F.col("rdesc") == 1)
+        .select(
+            "user_id",
+            F.expr(f"CAST(({num}) DIV ({den}) AS BIGINT)").alias("ewma_fp"),
+        )
+        .orderBy(F.col("ewma_fp").desc(), "user_id")
+        .limit(25)
+    )
