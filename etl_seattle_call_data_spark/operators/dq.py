@@ -204,3 +204,32 @@ def assert_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
         msg = "; ".join(f"{r.rule}: {r.n_violations} violations" for r in failed)
         raise ValueError(f"data-quality expectations failed: {msg}")
     return report
+
+
+# --------------------------------------------------------------------------
+# Zero-cost pipeline metrics via df.observe (Spark Observation API)
+
+
+def observed(df: DataFrame, name: str, **metrics: Column):
+    """Attach named aggregate metrics to ``df`` that materialize as a
+    side effect of whatever action the caller ALREADY runs — the
+    Spark-native replacement for the count-per-stage anti-pattern
+    (each .count() re-runs the pipeline prefix; an Observation rides
+    the existing job for free, accumulated map-side like any agg).
+
+    Returns (observed_df, observation); read ``observation.get`` AFTER
+    an action on ``observed_df``. Metrics must be aggregate expressions
+    (count/sum/min/max...). At 100 TB this is the only sane way to get
+    per-stage row counts out of a multi-stage corpus build: one job,
+    metrics for every stage.
+
+    >>> gated, obs = observed(df.filter(ok), "quality_gate",
+    ...                       n_kept=F.count(F.lit(1)))
+    >>> gated.write.parquet(out)   # the one real action
+    >>> obs.get["n_kept"]
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    first, *rest = [expr.alias(alias) for alias, expr in metrics.items()]
+    return df.observe(obs, first, *rest), obs

@@ -550,3 +550,25 @@ def test_dq_duplicate_rule_names_raise(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="duplicate rule names"):
         dq.check_expectations(df, rules)
+
+
+def test_observed_metrics_ride_the_action(spark):
+    """dq.observed: metrics materialize from the SAME action (no second
+    job over the pipeline prefix) and match an explicit recount."""
+    from etl_seattle_call_data_spark.operators import dq as dq_ops
+    from etl_seattle_call_data_spark.sources.registry import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "orders").filter(F.col("o_totalprice") > 1000)
+    gated, obs = dq_ops.observed(
+        df,
+        "gate_metrics",
+        n_kept=F.count(F.lit(1)),
+        total_price_cents=F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+    )
+    n_action = gated.count()          # the one real action
+    got = obs.get
+    assert got["n_kept"] == n_action
+    explicit = df.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert got["total_price_cents"] == explicit
