@@ -100,3 +100,50 @@ def equidepth_bucket(rank: Column, n: int, k: int) -> Column:
         .otherwise(F.lit(rem + 1) + _idiv(rank - F.lit(big + 1), q))
         .cast("int")
     )
+
+
+def two_phase_rank_in_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[str],
+    coarse: Column,
+    rank_name: str = "group_rank",
+) -> DataFrame:
+    """Exact 1-based rank WITHIN each group, without ranking any group
+    on a single task — the grouped form of ``two_phase_rank`` for when
+    groups are few-but-huge (per-source, per-tenant, per-day ranking: a
+    plain ``Window.partitionBy(group)`` serializes each group through
+    one reducer).
+
+    Unlike the global variant there is NO driver collect at all: the
+    per-(group, bucket) counts roll into per-group prefix offsets with
+    a window over the BUCKET table (rows per group = #buckets — bounded
+    sketch-sized state, not data), and the offsets join back on
+    (group, bucket) — the same key the local sort already shuffled on.
+    Parallelism = groups × buckets; a skewed bucket serializes only its
+    own rows. ``coarse`` must be order-aligned with the leading
+    ``order_by`` column and non-null.
+    """
+    bucketed = df.withColumn("__cb", coarse.cast("long"))
+    counts = bucketed.groupBy(*group_cols, "__cb").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__cb",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__offset"),
+    )
+    local = F.row_number().over(
+        Window.partitionBy(*group_cols, "__cb").orderBy(*order_by)
+    )
+    return (
+        bucketed.withColumn("__lrank", local)
+        .join(offsets, [*group_cols, "__cb"])
+        .withColumn(rank_name, (F.col("__offset") + F.col("__lrank")).cast("long"))
+        .drop("__cb", "__lrank", "__offset")
+    )

@@ -1022,3 +1022,71 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ewma_fp").desc(), "user_id")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (grouped two-phase rank)
+
+
+@register(
+    "quantile_normalize_doclen",
+    "Quantile normalization of document lengths across sources — the "
+    "batch-effect remover (microarray lineage) that maps every "
+    "source's r-th smallest value onto the cross-source mean at rank "
+    "r, forcing identical marginal distributions. The within-source "
+    "rank comes from operators/ranking.py::two_phase_rank_in_groups — "
+    "coarse length buckets, per-group prefix offsets from a window "
+    "over the BOUNDED bucket table, local rank per (source, bucket) — "
+    "so no source ever funnels through one reducer (the hazard of a "
+    "plain partitionBy(source) window when sources are few and huge), "
+    "and there is NO driver collect. Reference values are exact fixed "
+    "point (sum·10^6 DIV count); the oracle proves the distributed "
+    "rank against DuckDB's plain grouped ROW_NUMBER. Equal-sized "
+    "sources end with identical sum_qn_fp — the QN invariant, visible "
+    "in the output.",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               AS rk
+      FROM documents
+    ),
+    ref AS (
+      SELECT rk, CAST(SUM(n_chars) * 1000000 // COUNT(*) AS BIGINT) AS ref_fp
+      FROM r GROUP BY rk
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r.n_chars) AS BIGINT) AS sum_orig,
+           CAST(SUM(ref.ref_fp) AS BIGINT) AS sum_qn_fp
+    FROM r JOIN ref USING (rk)
+    GROUP BY source
+    """,
+)
+def q_quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    ranked = ranking.two_phase_rank_in_groups(
+        docs,
+        group_cols=["source"],
+        order_by=["n_chars", "doc_id"],
+        coarse=F.expr("n_chars DIV 256"),
+        rank_name="rk",
+    )
+    ref = ranked.groupBy("rk").agg(
+        F.expr("CAST(SUM(n_chars) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "ref_fp"
+        )
+    )
+    return (
+        ranked.join(ref, "rk")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_orig"),
+            F.sum("ref_fp").cast("bigint").alias("sum_qn_fp"),
+        )
+    )

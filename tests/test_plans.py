@@ -565,3 +565,12 @@ def test_power_iteration_broadcasts_direction_vector(spark):
     projection step."""
     plan = _plan(REGISTRY["power_iteration_top_eigen"].spark(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_grouped_rank_no_single_partition(spark):
+    """Grouped two-phase rank: no Exchange SinglePartition anywhere, and
+    the local-rank window partitions by (group, bucket) — no source
+    ever sorts through one reducer."""
+    plan = _plan(REGISTRY["quantile_normalize_doclen"].spark(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "__cb" in plan  # the coarse-bucket key reached the physical window
