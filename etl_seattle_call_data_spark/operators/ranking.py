@@ -147,3 +147,51 @@ def two_phase_rank_in_groups(
         .withColumn(rank_name, (F.col("__offset") + F.col("__lrank")).cast("long"))
         .drop("__cb", "__lrank", "__offset")
     )
+
+
+def two_phase_cumsum_in_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[str],
+    coarse: Column,
+    weight: Column,
+    cum_name: str = "cumw",
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``weight`` in ``order_by`` order
+    within each group, without serializing any group through one task —
+    the prefix-sum generalization of ``two_phase_rank_in_groups`` (rank
+    is the weight≡1 special case). Per-(group, bucket) weight totals
+    roll into per-group prefix offsets via a window over the bounded
+    bucket table; the local running sum windows over (group, bucket)
+    only. Weighted medians/quantiles, Lorenz curves, and capacity
+    packing all reduce to this. ``coarse`` must be order-aligned with
+    the leading ``order_by`` column and non-null; ``weight`` must be
+    non-null.
+    """
+    bucketed = df.withColumn("__cb", coarse.cast("long")).withColumn(
+        "__w", weight.cast("long")
+    )
+    totals = bucketed.groupBy(*group_cols, "__cb").agg(
+        F.sum("__w").alias("__bw")
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *group_cols,
+        "__cb",
+        F.coalesce(F.sum("__bw").over(woff), F.lit(0)).alias("__offset"),
+    )
+    local = F.sum("__w").over(
+        Window.partitionBy(*group_cols, "__cb")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.withColumn("__lcum", local)
+        .join(offsets, [*group_cols, "__cb"])
+        .withColumn(cum_name, (F.col("__offset") + F.col("__lcum")).cast("long"))
+        .drop("__cb", "__lcum", "__offset", "__w")
+    )

@@ -502,6 +502,31 @@ def scalar_quantize_stats(
     Scale: posexplode fans the corpus ×dims once; the per-dim stats
     table is dims-sized and broadcasts back; codes re-aggregate per
     vector. No driver-side state, no collect."""
+    coded = scalar_codes(df, id_col=id_col, vec_col=vec_col, levels=levels)
+    coded = coded.withColumn(
+        "err",
+        F.abs(
+            F.col("x")
+            - (F.col("mn") + F.col("code").cast("double") / levels * (F.col("mx") - F.col("mn")))
+        ),
+    )
+    return coded.groupBy(id_col).agg(
+        F.sum("code").alias("code_sum"),
+        F.max("err").alias("max_abs_err"),
+    )
+
+
+def scalar_codes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """The exploded int8 code table behind ``scalar_quantize_stats``:
+    (id, dim, x, mn, mx, code) with code = clamp(floor((x−mn)/(mx−mn)·
+    levels)). Shared by the stats/parity query and the quantization-
+    recall eval so both measure the SAME codes. One posexplode, one
+    dims-sized broadcast — no collect."""
     exploded = df.select(
         F.col(id_col),
         F.posexplode(F.col(vec_col)).alias("dim", "x"),
@@ -509,33 +534,19 @@ def scalar_quantize_stats(
     stats = exploded.groupBy("dim").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
     )
-    coded = (
-        exploded.join(F.broadcast(stats), "dim")
-        .withColumn(
-            "code",
-            # constant dimension (mx == mn): 0/0 would be NaN on Spark but
-            # an error in DuckDB's CAST — pin code 0 on both engines
-            F.when(F.col("mx") == F.col("mn"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.greatest(
-                        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * levels),
-                        F.lit(0),
-                    ),
-                    F.lit(levels),
-                )
+    return exploded.join(F.broadcast(stats), "dim").withColumn(
+        "code",
+        # constant dimension (mx == mn): 0/0 would be NaN on Spark but
+        # an error in DuckDB's CAST — pin code 0 on both engines
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * levels),
+                    F.lit(0),
+                ),
+                F.lit(levels),
             )
-            .cast("long"),
         )
-        .withColumn(
-            "err",
-            F.abs(
-                F.col("x")
-                - (F.col("mn") + F.col("code").cast("double") / levels * (F.col("mx") - F.col("mn")))
-            ),
-        )
-    )
-    return coded.groupBy(id_col).agg(
-        F.sum("code").alias("code_sum"),
-        F.max("err").alias("max_abs_err"),
+        .cast("long"),
     )

@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from etl_seattle_call_data_spark.operators import dq, text
 from etl_seattle_call_data_spark.operators.util import spread
-from etl_seattle_call_data_spark.plans.docs_queries import _DUCK_TOKENS
+from etl_seattle_call_data_spark.plans.docs_queries import _DUCK_COS, _DUCK_Q, _DUCK_TOKENS
 from etl_seattle_call_data_spark.plans.queries import register
 from etl_seattle_call_data_spark.sources.registry import load_table
 
@@ -1089,4 +1089,190 @@ def q_quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_orig"),
             F.sum("ref_fp").cast("bigint").alias("sum_qn_fp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed weighted median (two-phase grouped prefix sums)
+
+
+@register(
+    "weighted_median_price",
+    "Quantity-weighted median line price per return flag — 'the price "
+    "level at which half the shipped volume sits', the weighted "
+    "quantile no built-in computes and a naive partitionBy(flag) "
+    "cumsum window serializes per group (3 huge groups → 3 tasks). "
+    "operators/ranking.py::two_phase_cumsum_in_groups builds the exact "
+    "running weight in price order from per-(flag, price-bucket) "
+    "totals + bounded prefix-offset windows; the median is then the "
+    "minimum price whose inclusive cumulative weight reaches half the "
+    "group total (2·cumw ≥ totw — integer comparison, no division). "
+    "The oracle proves the two-phase prefix sum against DuckDB's "
+    "plain grouped window cumsum.",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice) AS BIGINT) AS price,
+             CAST(round(l_quantity) AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, price, w,
+             SUM(w) OVER (PARTITION BY flag
+                          ORDER BY price, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             SUM(w) OVER (PARTITION BY flag) AS totw
+      FROM v
+    )
+    SELECT flag,
+           CAST(MAX(totw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cumw >= totw THEN price END) AS BIGINT)
+             AS median_price
+    FROM c
+    GROUP BY flag
+    """,
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import ranking
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(floor(l_extendedprice) AS BIGINT)").alias("price"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = ranking.two_phase_cumsum_in_groups(
+        li,
+        group_cols=["flag"],
+        order_by=["price", "l_orderkey", "l_linenumber"],
+        coarse=F.expr("price DIV 1000"),
+        weight=F.col("w"),
+        cum_name="cumw",
+    )
+    tot = cum.groupBy("flag").agg(F.sum("w").cast("long").alias("totw"))
+    return (
+        cum.join(F.broadcast(tot), "flag")
+        .groupBy("flag")
+        .agg(
+            F.max("totw").cast("bigint").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("totw"), F.col("price"))
+            )
+            .cast("bigint")
+            .alias("median_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantization-recall eval: int8 code dot-products vs exact ground truth
+
+
+@register(
+    "quantization_recall_eval",
+    "Compression-fidelity eval completing the SQ/IVF/PQ triad's "
+    "measurement story: per query, the top-5 neighbors ranked by RAW "
+    "int8 scalar-quantization code dot-products are compared against "
+    "the exact integer-quantized cosine ground truth — recall@5 as a "
+    "gate-checked number for 'how much neighbor structure survives "
+    "255-level compression'. Candidate scoring is pure integer "
+    "arithmetic over operators/similarity.py::scalar_codes (the SAME "
+    "codes the parity query checks); the 10-query code table "
+    "broadcasts into the exploded corpus stream (eval-harness class — "
+    "brute-force by design, like the LSH/IVF evals). The oracle "
+    "replays the identical code formula and both rankings in SQL.",
+    f"""
+    WITH w AS ({_DUCK_Q}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_DUCK_COS} DESC, a.vec_id) AS rank
+        FROM w a JOIN w b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ),
+    ex AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+    ),
+    st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+    cd AS (
+      SELECT vec_id, dim,
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(least(greatest(floor((x - mn) / (mx - mn) * 255),
+                                           0), 255) AS BIGINT) END AS code
+      FROM ex JOIN st USING (dim)
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(c.code * q.code) AS BIGINT) AS dot
+      FROM cd c JOIN cd q
+        ON q.dim = c.dim AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    sq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id) AS rank
+        FROM dots
+      ) WHERE rank <= 5
+    ),
+    tc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+           FROM truth GROUP BY query_id),
+    ov AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+           FROM truth t JOIN sq s
+             ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+           GROUP BY t.query_id)
+    SELECT tc.query_id, tc.n_truth,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST((COALESCE(ov.n_overlap, 0) * 1000000) // tc.n_truth AS BIGINT)
+             AS recall_fp
+    FROM tc LEFT JOIN ov ON ov.query_id = tc.query_id
+    """,
+)
+def q_quantization_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    codes = similarity.scalar_codes(spread(emb)).select("vec_id", "dim", "code")
+    qc = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        "dim",
+        F.col("code").alias("qcode"),
+    )
+    dots = (
+        codes.join(F.broadcast(qc), "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("code") * F.col("qcode")).cast("bigint").alias("dot"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    sq = (
+        dots.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    tc = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    ov = (
+        truth.join(sq, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return tc.join(ov, "query_id", "left").select(
+        "query_id",
+        "n_truth",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        F.expr(
+            "CAST((COALESCE(n_overlap, 0) * 1000000) DIV n_truth AS BIGINT)"
+        ).alias("recall_fp"),
     )
