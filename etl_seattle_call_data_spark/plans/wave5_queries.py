@@ -1276,3 +1276,174 @@ def q_quantization_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((COALESCE(n_overlap, 0) * 1000000) DIV n_truth AS BIGINT)"
         ).alias("recall_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths: 3 Bellman-Ford relaxations in fixed point
+
+
+_BF_INF = 9_000_000_000_000_000  # unreachable sentinel, bigint-safe under +w
+
+
+@register(
+    "shortest_path_bellman_ford",
+    "Cheapest-path distances from the smallest part in the co-purchase "
+    "graph, 3 Bellman-Ford relaxation rounds — the WEIGHTED companion "
+    "to the recursive-CTE BFS: edge cost is 10^6 DIV co-purchase count "
+    "(rarely-bought-together = expensive), all arithmetic exact "
+    "integers so both engines agree bit-for-bit. Spark runs the "
+    "canonical relax loop: distances join the CACHED mirrored edge "
+    "list (one shuffle to build, reused all rounds — distances move, "
+    "edges don't), union, min per node; the frontier frame is bounded "
+    "by node count, never edges x rounds. The oracle unrolls the same "
+    "3 rounds as CTEs. Top-50 nearest with full tie-break.",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    edges AS (
+      SELECT part_a AS src, part_b AS dst, 1000000 // n_ab AS w FROM prs
+      UNION ALL
+      SELECT part_b AS src, part_a AS dst, 1000000 // n_ab AS w FROM prs
+    ),
+    s AS (SELECT MIN(part_a) AS sid FROM prs),
+    d0 AS (SELECT sid AS node, CAST(0 AS BIGINT) AS d FROM s),
+    d1 AS (SELECT node, MIN(d) AS d FROM (
+             SELECT node, d FROM d0
+             UNION ALL
+             SELECT e.dst AS node, d0.d + e.w AS d
+             FROM edges e JOIN d0 ON d0.node = e.src
+           ) GROUP BY node),
+    d2 AS (SELECT node, MIN(d) AS d FROM (
+             SELECT node, d FROM d1
+             UNION ALL
+             SELECT e.dst AS node, d1.d + e.w AS d
+             FROM edges e JOIN d1 ON d1.node = e.src
+           ) GROUP BY node),
+    d3 AS (SELECT node, MIN(d) AS d FROM (
+             SELECT node, d FROM d2
+             UNION ALL
+             SELECT e.dst AS node, d2.d + e.w AS d
+             FROM edges e JOIN d2 ON d2.node = e.src
+           ) GROUP BY node)
+    SELECT node AS part, CAST(d AS BIGINT) AS dist_fp
+    FROM d3 ORDER BY dist_fp, part LIMIT 50
+    """,
+)
+def q_shortest_path_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
+
+    prs = memo_copurchase_pairs(spark, sf_dir)
+    edges = prs.select(
+        F.col("part_a").alias("src"),
+        F.col("part_b").alias("dst"),
+        F.expr("1000000 DIV n_ab").alias("w"),
+    ).unionByName(
+        prs.select(
+            F.col("part_b").alias("src"),
+            F.col("part_a").alias("dst"),
+            F.expr("1000000 DIV n_ab").alias("w"),
+        )
+    )
+    src = prs.agg(F.min("part_a").alias("sid"))
+    dist = src.select(F.col("sid").alias("node"), F.lit(0).cast("bigint").alias("d"))
+    for _ in range(3):
+        relaxed = edges.join(
+            dist.select(F.col("node").alias("src"), "d"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").cast("bigint").alias("d"))
+        )
+    return (
+        dist.select(F.col("node").alias("part"), F.col("d").alias("dist_fp"))
+        .orderBy("dist_fp", "part")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequent triples with Apriori candidate pruning
+
+
+@register(
+    "frequent_triples_apriori",
+    "Frequent 3-itemsets in the market baskets, Apriori-style: the "
+    "triple stream (Σ C(basket,3), ~35 per 7-line basket — bounded "
+    "fan-out, never items³) is PRUNED before its count shuffle by "
+    "three broadcast semi-joins against the frequent-pair table (any "
+    "triple with an infrequent sub-pair cannot be frequent — the "
+    "Apriori monotonicity that makes itemset mining feasible at "
+    "scale). Shares the cached basket-item and pair memos with the "
+    "association-rule/PageRank/triangle family. Top-20 by support "
+    "with full lexicographic tie-break.",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS n
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    fp AS (SELECT pa, pb FROM prs WHERE n >= 2),
+    tri AS (
+      SELECT a.l_partkey AS ia, b.l_partkey AS ib, c.l_partkey AS ic
+      FROM items a
+      JOIN items b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+      JOIN items c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
+      WHERE EXISTS (SELECT 1 FROM fp
+                    WHERE fp.pa = a.l_partkey AND fp.pb = b.l_partkey)
+        AND EXISTS (SELECT 1 FROM fp
+                    WHERE fp.pa = b.l_partkey AND fp.pb = c.l_partkey)
+        AND EXISTS (SELECT 1 FROM fp
+                    WHERE fp.pa = a.l_partkey AND fp.pb = c.l_partkey)
+    )
+    SELECT ia, ib, ic, support FROM (
+      SELECT ia, ib, ic, CAST(COUNT(*) AS BIGINT) AS support,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, ia, ib, ic) AS rk
+      FROM tri GROUP BY ia, ib, ic
+    ) WHERE rk <= 20
+    """,
+)
+def q_frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.plans.shared import (
+        memo_basket_items,
+        memo_copurchase_pairs,
+    )
+
+    items = memo_basket_items(spark, sf_dir)
+    fp = memo_copurchase_pairs(spark, sf_dir).filter(F.col("n_ab") >= 2).select(
+        "part_a", "part_b"
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ia"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ib"))
+    c = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ic"))
+    tri = (
+        a.join(b, "ok")
+        .filter(F.col("ib") > F.col("ia"))
+        .join(c, "ok")
+        .filter(F.col("ic") > F.col("ib"))
+    )
+    for cols in (("ia", "ib"), ("ib", "ic"), ("ia", "ic")):
+        tri = tri.join(
+            F.broadcast(
+                fp.select(
+                    F.col("part_a").alias(cols[0]), F.col("part_b").alias(cols[1])
+                )
+            ),
+            list(cols),
+            "left_semi",
+        )
+    return (
+        tri.groupBy("ia", "ib", "ic")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.desc("support"), "ia", "ib", "ic")
+        .limit(20)
+        .select("ia", "ib", "ic", "support")
+    )
