@@ -1447,3 +1447,208 @@ def q_frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("ia", "ib", "ic", "support")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve by customer revenue decile (two-phase rank + NTILE parity)
+
+
+@register(
+    "lorenz_curve_deciles",
+    "Lorenz curve of revenue concentration: customers ranked ascending "
+    "by revenue via the two-phase global rank (no single-partition "
+    "sort — the gini query's machinery), NTILE(10)-identical deciles "
+    "from operators/ranking.py::equidepth_bucket, then cumulative "
+    "revenue share per decile in exact cents with ONE fixed-point "
+    "division per row. The cumulative window runs over the BOUNDED "
+    "10-row decile table (sketch-sized state). The oracle's plain "
+    "NTILE window proves both the distributed rank and the ANSI "
+    "bucket-fill contract.",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT rev_cents,
+             NTILE(10) OVER (ORDER BY rev_cents, o_custkey) AS decile
+      FROM r
+    ),
+    g AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+      FROM d GROUP BY decile
+    )
+    SELECT CAST(decile AS INTEGER) AS decile, n_customers, rev_cents,
+           CAST(SUM(rev_cents) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_rev_cents,
+           CAST(SUM(rev_cents) OVER (ORDER BY decile) * 1000000
+                // SUM(rev_cents) OVER () AS BIGINT) AS cum_share_fp
+    FROM g
+    ORDER BY decile
+    """,
+)
+def q_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import ranking
+
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    ranked, n = ranking.two_phase_rank(
+        r,
+        order_by=["rev_cents", "o_custkey"],
+        coarse=F.expr("rev_cents DIV 1000000"),
+        rank_name="rnk",
+    )
+    g = ranked.groupBy(
+        ranking.equidepth_bucket(F.col("rnk"), n, 10).alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+    )
+    # bounded 10-row windows: single partition over sketch-sized state
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return g.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        "rev_cents",
+        F.sum("rev_cents").over(wcum).cast("bigint").alias("cum_rev_cents"),
+        F.expr(
+            "CAST(SUM(rev_cents) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000"
+            " DIV SUM(rev_cents) OVER () AS BIGINT)"
+        ).alias("cum_share_fp"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Zipf power-law audit via bit-length buckets (no logarithms)
+
+
+@register(
+    "zipf_bitlength_profile",
+    "Power-law audit of the corpus token-frequency distribution "
+    "WITHOUT logarithms: tokens bucket by floor(log2(count)) computed "
+    "exactly as length(bin(count))−1 (identical binary rendering on "
+    "both engines), giving the doubling-bucket histogram a Zipfian "
+    "corpus shows as near-constant mass decay — the vocabulary "
+    "diagnostic for tokenizer budgeting. Token counts are one "
+    "explode+agg shuffle; the profile is a bucket-sized aggregate; "
+    "the mass ratio between consecutive buckets lands in fixed point "
+    "from a lag over the bounded bucket table.",
+    f"""
+    WITH tc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    b AS (
+      SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS log2_bucket, n FROM tc
+    ),
+    g AS (
+      SELECT log2_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(n) AS BIGINT) AS total_occurrences
+      FROM b GROUP BY log2_bucket
+    )
+    SELECT log2_bucket, n_tokens, total_occurrences,
+           CAST(COALESCE(n_tokens * 1000000
+                // NULLIF(lag(n_tokens) OVER (ORDER BY log2_bucket), 0), -1)
+                AS BIGINT) AS decay_ratio_fp
+    FROM g
+    ORDER BY log2_bucket
+    """,
+)
+def q_zipf_bitlength_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tc = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    g = tc.groupBy(
+        (F.length(F.bin(F.col("n"))) - 1).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("n").cast("bigint").alias("total_occurrences"),
+    )
+    # bounded window: one row per doubling bucket (< 64 rows)
+    wl = Window.orderBy("log2_bucket")
+    return g.select(
+        "log2_bucket",
+        "n_tokens",
+        "total_occurrences",
+        F.coalesce(
+            F.expr(
+                "n_tokens * 1000000 DIV NULLIF(lag(n_tokens)"
+                " OVER (ORDER BY log2_bucket), 0)"
+            ),
+            F.lit(-1),
+        )
+        .cast("bigint")
+        .alias("decay_ratio_fp"),
+    ).orderBy("log2_bucket")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+
+
+@register(
+    "k_anonymity_audit",
+    "Privacy audit: k-anonymity of the customer table under the "
+    "quasi-identifier (market segment, nation, account-balance "
+    "thousand-bucket) — every release pipeline's pre-flight check. "
+    "One groupBy builds the equivalence classes, one aggregate over "
+    "the class table yields k (the minimum class size), the count of "
+    "classes below k=5, and the rows re-identifiable at that "
+    "threshold. Two shuffles total, class table bounded by the "
+    "quasi-identifier domain, no row-level data leaves the executors.",
+    """
+    WITH q AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(floor(c_acctbal) AS BIGINT) // 1000 AS bal_bucket
+      FROM customer
+    ),
+    cls AS (
+      SELECT seg, nat, bal_bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY seg, nat, bal_bucket
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_5,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk
+    FROM cls
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr("CAST(floor(c_acctbal) AS BIGINT) DIV 1000").alias("bal_bucket"),
+    )
+    cls = q.groupBy("seg", "nat", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return cls.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("n").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_classes_below_5"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+    )
