@@ -137,3 +137,65 @@ def running_user_stats(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 arbitrary-state API: transformWithStateInPandas
+
+
+def running_totals_tws(df: DataFrame, key: str = "user_id", value_col: str = "value") -> DataFrame:
+    """Running per-key totals via ``transformWithStateInPandas`` — the
+    Spark 4 successor to applyInPandasWithState: typed state handles
+    (ValueState/ListState/MapState), timers, and a processor lifecycle
+    instead of one update function. State lives in the RocksDB state
+    store provider (required by this API), which scales state past
+    executor memory — the 100 TB posture for unbounded key spaces.
+    Same Arrow batching: the processor sees pandas chunks per key per
+    micro-batch, never per-row Python.
+
+    Environment note: the TWS driver worker requires ``google.protobuf``
+    (it speaks proto to the state server); containers without it crash
+    the worker at import — tests/test_streaming_stateful.py skips there
+    and applyInPandasWithState covers the same semantics."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql import types as T
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("total", T.DoubleType()),
+                ]
+            )
+            self._state = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            prior = self._state.get() if self._state.exists() else (0, 0.0)
+            n, total = int(prior[0]), float(prior[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.select(F.col(key), F.col(value_col).alias("value"))
+        .groupBy(key)
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotal(),
+            outputStructType=RUNNING_STATS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

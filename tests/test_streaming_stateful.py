@@ -186,3 +186,53 @@ def test_streaming_sessions_match_batch_session_window(spark, src, tmp_path):
         for r in REGISTRY["session_window_counts"].spark(spark, sf).collect()
     }
     assert streamed == batch
+
+
+def test_transform_with_state_carries_across_batches(spark, src, tmp_path):
+    """Spark 4 transformWithStateInPandas: ValueState survives between
+    micro-batches under the RocksDB state store provider (required by
+    the API); two files -> two batches -> the second output reflects
+    accumulated state, proving state round-trips through RocksDB.
+
+    The TWS driver worker speaks protobuf to the state server; in a
+    container without google.protobuf the worker crashes at import, so
+    the test skips there (the applyInPandasWithState suite above covers
+    the same semantics on the stock state path)."""
+    pytest.importorskip("google.protobuf", reason="transformWithState worker needs protobuf")
+    from etl_seattle_call_data_spark.streaming.stateful import running_totals_tws
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(src / "b1.json", [(1, "2024-01-01T00:00:00", 7, 1.5),
+                                       (2, "2024-01-01T00:00:10", 7, 2.5)])
+        _write_batch(src / "b2.json", [(3, "2024-01-01T00:01:00", 7, 4.0)])
+        out = running_totals_tws(_stream(spark, src))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = {
+            (r.user_id, r.n_events): r.total_value
+            for r in spark.sql("SELECT * FROM tws_out").collect()
+        }
+        # batch boundaries can merge under maxFilesPerTrigger, but the
+        # final accumulated state must be exact
+        assert (7, 3) in rows and abs(rows[(7, 3)] - 8.0) < 1e-9
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
