@@ -1652,3 +1652,181 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rows_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: token overlap + embedding cosine fused by RRF
+
+
+@register(
+    "hybrid_search_rrf",
+    "Hybrid search: a lexical ranker (distinct-token overlap with the "
+    "query document, broadcast token set) and a vector ranker "
+    "(integer-quantized cosine to the query embedding, broadcast "
+    "query vector) fused by Reciprocal Rank Fusion — "
+    "score = Σ 10^6 DIV (60 + rank), the standard hybrid-retrieval "
+    "combiner, EXACT in fixed point so both engines agree on every "
+    "fused score. Each ranker is one broadcast probe over its corpus "
+    "(no pairwise joins); the fusion is a full outer join of two "
+    "top-20 lists. Query = doc/vec 0. Top-10 hybrid results with "
+    "full tie-break.",
+    f"""
+    WITH qtok AS (
+      SELECT DISTINCT unnest({_DUCK_TOKENS}) AS tok FROM documents WHERE doc_id = 0
+    ),
+    dtok AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_TOKENS}) AS tok
+      FROM documents WHERE doc_id <> 0
+    ),
+    lex AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, doc_id) AS lex_rank
+      FROM dtok JOIN qtok USING (tok)
+      GROUP BY doc_id
+      QUALIFY lex_rank <= 20
+    ),
+    w AS ({_DUCK_Q}),
+    vec AS (
+      SELECT neighbor_id AS doc_id, vec_rank FROM (
+        SELECT a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (ORDER BY {_DUCK_COS} DESC, a.vec_id) AS vec_rank
+        FROM w a JOIN w b ON b.vec_id = 0 AND a.vec_id <> 0
+      ) WHERE vec_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             COALESCE(1000000 // (60 + lex.lex_rank), 0)
+               + COALESCE(1000000 // (60 + vec.vec_rank), 0) AS rrf_fp
+      FROM lex FULL OUTER JOIN vec ON vec.doc_id = lex.doc_id
+    )
+    SELECT doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp FROM fused
+    ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import similarity
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtok = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    dtok = (
+        docs.filter(F.col("doc_id") != 0)
+        .select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    wl = Window.orderBy(F.desc("overlap"), "doc_id")
+    lex = (
+        dtok.join(F.broadcast(qtok), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 20)
+        .select("doc_id", "lex_rank")
+    )
+    vec = (
+        similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000 DIV (60 + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 DIV (60 + vec_rank)"), F.lit(0))
+        ).alias("rrf_fp"),
+    )
+    return (
+        fused.select("doc_id", F.col("rrf_fp").cast("bigint").alias("rrf_fp"))
+        .orderBy(F.desc("rrf_fp"), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph
+
+
+@register(
+    "degree_assortativity",
+    "Degree assortativity of the co-purchase graph — the Pearson "
+    "correlation of endpoint degrees over all (mirrored) edges, the "
+    "graph-science number that says whether hubs attach to hubs "
+    "(assortative, r>0) or to leaves (disassortative, r<0). Degrees "
+    "broadcast onto the edge stream (two dim-table joins), the five "
+    "moments accumulate as exact DECIMAL(38,0) in one aggregate, and "
+    "the final r is the single-pass correlation formula — one IEEE "
+    "division of identical integers (same contract as "
+    "corr_matrix_lineitem).",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    edges AS (
+      SELECT part_a AS src, part_b AS dst FROM prs
+      UNION ALL
+      SELECT part_b AS src, part_a AS dst FROM prs
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    ed AS (
+      SELECT ds.d AS dx, dd.d AS dy
+      FROM edges e JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(dy * dy AS DECIMAL(38,0))) AS syy
+      FROM ed
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+    FROM m
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
+
+    prs = memo_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    edges = prs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        prs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ed = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
+        .select("dx", "dy")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dy").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+        ).alias("assortativity"),
+    )
