@@ -1830,3 +1830,222 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable MinHash: source-level similarity matrix
+
+
+_SRC_MH_PERMS = 16
+
+
+@register(
+    "source_minhash_similarity",
+    "Source-to-source content similarity from MERGEABLE MinHash "
+    "sketches: each source's 16-permutation signature is the "
+    "per-permutation MIN over all its shingle hashes — a plain "
+    "aggregate, associatively mergeable exactly like production "
+    "sketch stores merge per-shard sketches (min of mins). The "
+    "estimated Jaccard between two sources is matching-permutation "
+    "count / 16 in fixed point, reported next to the EXACT distinct-"
+    "shingle Jaccard (two-level agg + pair join over the bounded "
+    "source list) so the sketch error is a visible number per pair. "
+    "Corpus work is one shingle explode; the pairwise stage touches "
+    "only 20 signatures. Top-15 most similar pairs.",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2]), 1, 15))::BIGINT
+               AS h
+      FROM (SELECT source, {_DUCK_TOKENS} AS toks FROM documents),
+           unnest(range(0, greatest(len(toks) - 1, 0))) AS t(i)
+    ),
+    sig AS (
+      SELECT source, p,
+             MIN(('0x' || substr(md5(CAST(h AS VARCHAR) || ':p' || CAST(p AS VARCHAR)),
+                                 1, 15))::BIGINT) AS mh
+      FROM sh, unnest(range(0, {_SRC_MH_PERMS})) AS t(p)
+      GROUP BY source, p
+    ),
+    est AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) * 1000000
+                  // {_SRC_MH_PERMS} AS BIGINT) AS est_jaccard_fp
+      FROM sig a JOIN sig b ON a.p = b.p AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    exact AS (
+      SELECT i.src_a, i.src_b,
+             CAST(i.n_common * 1000000
+                  // (ca.n + cb.n - i.n_common) AS BIGINT) AS jaccard_fp
+      FROM inter i
+      JOIN cnt ca ON ca.source = i.src_a
+      JOIN cnt cb ON cb.source = i.src_b
+    )
+    SELECT e.src_a, e.src_b, e.est_jaccard_fp,
+           COALESCE(x.jaccard_fp, 0) AS jaccard_fp
+    FROM est e LEFT JOIN exact x
+      ON x.src_a = e.src_a AND x.src_b = e.src_b
+    ORDER BY jaccard_fp DESC, e.src_a, e.src_b
+    LIMIT 15
+    """,
+)
+def q_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # bigram shingles via the zip_with co-walk, md5-hashed to the
+    # portable 60-bit integer (same tokenization as ngram_top_bigrams)
+    sh = (
+        docs.select(
+            "source", F.explode(text.bigrams(F.col("text"))).alias("shingle")
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    perms = F.explode(F.sequence(F.lit(0), F.lit(_SRC_MH_PERMS - 1))).alias("p")
+    sig = (
+        sh.select("source", "h", perms)
+        .select(
+            "source",
+            "p",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("h").cast("string"), F.lit(":p"), F.col("p").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("ph"),
+        )
+        .groupBy("source", "p")
+        .agg(F.min("ph").alias("mh"))
+    )
+    a = sig.select(F.col("source").alias("src_a"), "p", F.col("mh").alias("mha"))
+    b = sig.select(F.col("source").alias("src_b"), "p", F.col("mh").alias("mhb"))
+    est = (
+        a.join(b, ["p"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN mha = mhb THEN 1 ELSE 0 END) * 1000000"
+                f" DIV {_SRC_MH_PERMS} AS BIGINT)"
+            ).alias("est_jaccard_fp")
+        )
+    )
+    cnt = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ia = sh.select(F.col("source").alias("src_a"), "h")
+    ib = sh.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        ia.join(ib, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(cnt.select(F.col("source").alias("src_a"), F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.expr("CAST(n_common * 1000000 DIV (na + nb - n_common) AS BIGINT)").alias(
+                "jaccard_fp"
+            ),
+        )
+    )
+    return (
+        est.join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "est_jaccard_fp",
+            F.coalesce(F.col("jaccard_fp"), F.lit(0)).cast("bigint").alias("jaccard_fp"),
+        )
+        .orderBy(F.desc("jaccard_fp"), "src_a", "src_b")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count estimator, measured vs exact
+
+
+_KMV_K = 64
+
+
+@register(
+    "cardinality_kmv_eval",
+    "Distinct-count sketch eval: the KMV (k-minimum-values / bottom-k) "
+    "estimator over distinct order customers — estimate = "
+    "(k−1)·2^52 DIV h_(k) where h_(k) is the k-th smallest 52-bit md5 "
+    "hash — measured against the exact COUNT(DISTINCT) with the "
+    "relative error as a fixed-point number. Pure integers end to "
+    "end (the estimator that needs NO harmonic means or logs, unlike "
+    "HLL). The bottom-k is a TakeOrdered global top-k (per-partition "
+    "heads + k-row driver merge, never a global sort); the sketch is "
+    "mergeable by construction (union of bottom-k sets → bottom-k). "
+    "One row: exact, estimate, signed error.",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))::BIGINT
+               AS hv
+      FROM orders
+    ),
+    bk AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    kth AS (SELECT MAX(hv) AS hk, CAST(COUNT(*) AS BIGINT) AS k_used FROM bk),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM h)
+    SELECT ex.n_exact, kth.k_used,
+           CAST(CASE WHEN kth.k_used < {_KMV_K} THEN ex.n_exact
+                ELSE ({_KMV_K} - 1) * 4503599627370496 // kth.hk END
+                AS BIGINT) AS n_estimate,
+           CAST(((CASE WHEN kth.k_used < {_KMV_K} THEN ex.n_exact
+                  ELSE ({_KMV_K} - 1) * 4503599627370496 // kth.hk END)
+                 - ex.n_exact) * 1000000 // ex.n_exact AS BIGINT)
+             AS rel_error_fp
+    FROM ex CROSS JOIN kth
+    """,
+)
+def q_cardinality_kmv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    bk = h.orderBy("hv").limit(_KMV_K)
+    kth = bk.agg(
+        F.max("hv").alias("hk"), F.count(F.lit(1)).cast("bigint").alias("k_used")
+    )
+    ex = h.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    est = (
+        f"CASE WHEN k_used < {_KMV_K} THEN n_exact"
+        f" ELSE ({_KMV_K} - 1) * 4503599627370496 DIV hk END"
+    )
+    return dq.scalar_join(ex, kth).select(
+        "n_exact",
+        "k_used",
+        F.expr(f"CAST({est} AS BIGINT)").alias("n_estimate"),
+        F.expr(
+            f"CAST((({est}) - n_exact) * 1000000 DIV n_exact AS BIGINT)"
+        ).alias("rel_error_fp"),
+    )
