@@ -2049,3 +2049,161 @@ def q_cardinality_kmv_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((({est}) - n_exact) * 1000000 DIV n_exact AS BIGINT)"
         ).alias("rel_error_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed AUC (Mann-Whitney with tie correction, pure integers)
+
+
+@register(
+    "classifier_auc_exact",
+    "EXACT ROC-AUC of 'document length predicts English' — the "
+    "Mann-Whitney pair formulation every distributed AUC job should "
+    "use instead of sampling: group by distinct score, count "
+    "positives/negatives per score, running negatives-below via the "
+    "two-phase grouped cumsum (score-bucket offsets — no single-"
+    "partition sort over the score distribution), then "
+    "AUC = (2·concordant + ties) / (2·n_pos·n_neg) with every term an "
+    "exact integer and ONE final fixed-point division. The score "
+    "table is distinct-value-sized, not row-sized; at 100 TB the "
+    "same plan runs over bucketized scores. Output: pair counts + "
+    "auc_fp.",
+    """
+    WITH s AS (
+      SELECT n_chars AS score,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT score, np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(SUM(np * neg_below) AS BIGINT) AS concordant,
+             CAST(SUM(np * nn) AS BIGINT) AS tied,
+             CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(nn) AS BIGINT) AS n_neg
+      FROM c
+    )
+    SELECT n_pos, n_neg, concordant, tied,
+           CAST((2 * concordant + tied) * 1000000
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_fp
+    FROM agg
+    """,
+)
+def q_classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy(F.col("n_chars").alias("score")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("bigint")
+        .alias("nn"),
+    ).withColumn("g", F.lit(1))
+    cum = ranking.two_phase_cumsum_in_groups(
+        s,
+        group_cols=["g"],
+        order_by=["score"],
+        coarse=F.expr("score DIV 256"),
+        weight=F.col("nn"),
+        cum_name="cum_nn",
+    ).withColumn("neg_below", F.col("cum_nn") - F.col("nn"))
+    agg = cum.agg(
+        F.sum(F.col("np") * F.col("neg_below")).cast("bigint").alias("concordant"),
+        F.sum(F.col("np") * F.col("nn")).cast("bigint").alias("tied"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "concordant",
+        "tied",
+        F.expr(
+            "CAST((2 * concordant + tied) * 1000000"
+            " DIV (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified split (rank-based, exact per-stratum proportions)
+
+
+@register(
+    "exact_stratified_split",
+    "Exact 80/20 stratified holdout: within every source stratum, "
+    "EXACTLY floor(n/5) documents go to the test fold — the guarantee "
+    "hash-splitting can't give (binomial jitter starves small "
+    "strata). Membership is the within-stratum two-phase rank over "
+    "the md5-shuffled order (deterministic, data-independent "
+    "shuffling; no per-stratum single reducer), test = rank ≤ "
+    "floor(n/5) via a broadcast per-stratum count. Output proves "
+    "exactness: per source, fold sizes and the doc-id checksum of "
+    "the test fold.",
+    """
+    WITH h AS (
+      SELECT source, doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15))::BIGINT
+               AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM h
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= n // 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test,
+           CAST(SUM(CASE WHEN rk <= n // 5 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS test_id_checksum
+    FROM r
+    GROUP BY source
+    """,
+)
+def q_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    ranked = ranking.two_phase_rank_in_groups(
+        h,
+        group_cols=["source"],
+        order_by=["hv", "doc_id"],
+        coarse=F.expr("hv DIV 72057594037927936"),  # 2^56: 16 hash buckets
+        rank_name="rk",
+    )
+    n = h.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = ranked.join(F.broadcast(n), "source")
+    is_test = F.col("rk") <= F.expr("n DIV 5")
+    return j.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(is_test, 1).otherwise(0)).cast("bigint").alias("n_test"),
+        F.sum(F.when(is_test, F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("test_id_checksum"),
+    )
