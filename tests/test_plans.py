@@ -574,3 +574,33 @@ def test_grouped_rank_no_single_partition(spark):
     plan = _plan(REGISTRY["quantile_normalize_doclen"].spark(spark, SF))
     assert "Exchange SinglePartition" not in plan
     assert "__cb" in plan  # the coarse-bucket key reached the physical window
+
+
+def test_weighted_median_no_single_partition(spark):
+    """The weighted-median prefix sum must never funnel a group through
+    one task: no Exchange SinglePartition in the plan."""
+    plan = _plan(REGISTRY["weighted_median_price"].spark(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_auc_cumsum_no_single_partition(spark):
+    """Exact AUC's negatives-below cumsum runs over score buckets —
+    no Exchange SinglePartition anywhere (the score distribution is
+    never globally sorted on one task)."""
+    plan = _plan(REGISTRY["classifier_auc_exact"].spark(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_kmv_bottom_k_is_take_ordered(spark):
+    """The KMV bottom-k must plan as TakeOrderedAndProject (per-
+    partition heads + driver merge), never a global sort."""
+    plan = _plan(REGISTRY["cardinality_kmv_eval"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_rrf_probes_broadcast(spark):
+    """Both retrieval arms probe via broadcast (query tokens / query
+    vector are one-document build sides); the corpus never shuffles
+    for scoring."""
+    plan = _plan(REGISTRY["hybrid_search_rrf"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
