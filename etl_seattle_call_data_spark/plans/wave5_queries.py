@@ -2207,3 +2207,88 @@ def q_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("test_id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B test (exact counts, deterministic z-score)
+
+
+@register(
+    "ab_test_two_proportion",
+    "Two-proportion z-test between experiment arms (odd vs even "
+    "users): does arm A convert (purchase) more than arm B? Counts "
+    "are exact integers from ONE conditional-aggregate scan (no "
+    "per-arm jobs); the z-score derives from those integers through "
+    "the pooled-variance formula — sqrt and division are IEEE-"
+    "correctly-rounded on identical inputs, so the doubles agree "
+    "bit-for-bit (the corr_matrix contract). Per-arm user counts and "
+    "converter counts are distinct-user aggregates (two-level "
+    "groupBy, no count-distinct Expand).",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+      FROM u
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN CAST(0.0 AS DOUBLE)
+           ELSE
+             (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           END AS z_score
+    FROM a
+    """,
+)
+def q_ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("converted")
+    ).withColumn("arm", F.col("user_id") % 2)
+    a = u.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    degenerate = (F.col("c_a") + F.col("c_b") == 0) | (
+        F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")
+    )
+    return a.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        # all-convert / none-convert arms have zero pooled variance: pin
+        # z to 0.0 on both engines (DuckDB would emit NaN, Spark ANSI errors)
+        F.when(degenerate, F.lit(0.0)).otherwise(z).alias("z_score"),
+    )
