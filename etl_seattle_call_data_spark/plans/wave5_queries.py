@@ -2292,3 +2292,281 @@ def q_ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         # z to 0.0 on both engines (DuckDB would emit NaN, Spark ANSI errors)
         F.when(degenerate, F.lit(0.0)).otherwise(z).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the daily revenue series
+
+
+@register(
+    "revenue_max_drawdown",
+    "Maximum drawdown of daily order revenue — the peak-to-trough "
+    "risk metric: running peak via a cumulative-max window, drawdown "
+    "= peak − value, report the deepest one and its day. Daily totals "
+    "are exact cents from one aggregate; every window runs over the "
+    "BOUNDED day table (rows = horizon days, sketch-sized state — "
+    "the same bounded-window contract as the KS bucket grid), so the "
+    "fact table never meets a window. Deterministic day tie-break on "
+    "the earliest deepest day.",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    dd AS (
+      SELECT day, rev_cents,
+             MAX(rev_cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents
+      FROM daily
+    ),
+    w AS (
+      SELECT day, rev_cents, peak_cents,
+             peak_cents - rev_cents AS drawdown_cents
+      FROM dd
+    ),
+    mx AS (SELECT MAX(drawdown_cents) AS mdd FROM w)
+    SELECT CAST(MIN(w.day) AS BIGINT) AS drawdown_day,
+           CAST(mx.mdd AS BIGINT) AS max_drawdown_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days_at_max
+    FROM w JOIN mx ON w.drawdown_cents = mx.mdd
+    GROUP BY mx.mdd
+    """,
+)
+def q_revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    # bounded window: one row per day of the horizon
+    wpeak = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = daily.select(
+        "day",
+        "rev_cents",
+        (F.max("rev_cents").over(wpeak) - F.col("rev_cents")).alias("drawdown_cents"),
+    )
+    mx = w.agg(F.max("drawdown_cents").alias("mdd"))
+    return (
+        w.join(F.broadcast(mx), w["drawdown_cents"] == mx["mdd"])
+        .groupBy("mdd")
+        .agg(
+            F.min("day").cast("bigint").alias("drawdown_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days_at_max"),
+        )
+        .select(
+            "drawdown_day",
+            F.col("mdd").cast("bigint").alias("max_drawdown_cents"),
+            "n_days_at_max",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mix-shift decomposition: volume vs price effect per segment
+
+
+@register(
+    "mix_shift_decomposition",
+    "Period-over-period revenue-change decomposition per order "
+    "priority — the BI mix-shift analysis: delta = volume effect "
+    "((n2−n1)·avg1) + price effect (n2·(avg2−avg1)), with the "
+    "truncation residual reported explicitly so the identity is "
+    "auditable. Both periods (first vs second half of the date range "
+    "by median day) come from ONE conditional-aggregate scan; "
+    "averages are fixed-point cents DIV order-count (identical "
+    "truncation both engines). The period split day is a bounded "
+    "scalar broadcast.",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    split AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM d),
+    g AS (
+      SELECT priority,
+             CAST(SUM(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN day <= mid THEN cents ELSE 0 END) AS BIGINT) AS rev1,
+             CAST(SUM(CASE WHEN day > mid THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN day > mid THEN cents ELSE 0 END) AS BIGINT) AS rev2
+      FROM d CROSS JOIN split
+      GROUP BY priority
+    )
+    SELECT priority, n1, rev1, n2, rev2,
+           CAST((n2 - n1) * (rev1 // NULLIF(n1, 0)) AS BIGINT) AS volume_effect,
+           CAST(n2 * (rev2 // NULLIF(n2, 0) - rev1 // NULLIF(n1, 0)) AS BIGINT)
+             AS price_effect,
+           CAST((rev2 - rev1)
+                - (n2 - n1) * (rev1 // NULLIF(n1, 0))
+                - n2 * (rev2 // NULLIF(n2, 0) - rev1 // NULLIF(n1, 0))
+                AS BIGINT) AS residual
+    FROM g
+    """,
+)
+def q_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    split = d.agg(F.expr("(MIN(day) + MAX(day)) DIV 2").alias("mid"))
+    g = (
+        d.crossJoin(F.broadcast(split))
+        .groupBy("priority")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("day") <= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("rev1"),
+            F.sum(F.when(F.col("day") > F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(F.when(F.col("day") > F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("rev2"),
+        )
+    )
+    a1 = "rev1 DIV NULLIF(n1, 0)"
+    a2 = "rev2 DIV NULLIF(n2, 0)"
+    return g.select(
+        "priority",
+        "n1",
+        "rev1",
+        "n2",
+        "rev2",
+        F.expr(f"CAST((n2 - n1) * ({a1}) AS BIGINT)").alias("volume_effect"),
+        F.expr(f"CAST(n2 * (({a2}) - ({a1})) AS BIGINT)").alias("price_effect"),
+        F.expr(
+            f"CAST((rev2 - rev1) - (n2 - n1) * ({a1})"
+            f" - n2 * (({a2}) - ({a1})) AS BIGINT)"
+        ).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution within sessions
+
+
+@register(
+    "attribution_linear_session",
+    "Linear multi-touch attribution: each purchase's value splits "
+    "equally across ALL preceding events of the same user session "
+    "(30-min gap sessionization), in exact integer cents — "
+    "value DIV n per touch with the remainder assigned to the "
+    "earliest touch, so attributed cents sum EXACTLY to purchase "
+    "cents (the audit no float split survives). Sessionization and "
+    "the per-purchase touch counts are per-user windows (full "
+    "parallelism); credit flows through one equi-join on "
+    "(user, session, purchase-order). Output: attributed cents per "
+    "touch event type.",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS tu,
+             CAST(round(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    marks AS (
+      SELECT *,
+             CASE WHEN tu - COALESCE(lag(tu) OVER (
+                    PARTITION BY user_id ORDER BY tu, event_id), tu)
+                  > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    s AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM marks
+    ),
+    touches AS (
+      SELECT user_id, sess, event_id, event_type, tu
+      FROM s WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+      SELECT user_id, sess, event_id AS p_id, tu AS p_tu, cents
+      FROM s WHERE event_type = 'purchase' AND cents > 0
+    ),
+    credit AS (
+      SELECT t.event_type, p.cents, p.p_id,
+             CAST(COUNT(*) OVER (PARTITION BY p.user_id, p.sess, p.p_id)
+                  AS BIGINT) AS n_touch,
+             ROW_NUMBER() OVER (PARTITION BY p.user_id, p.sess, p.p_id
+                                ORDER BY t.tu, t.event_id) AS touch_rank
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id AND t.sess = p.sess AND t.tu < p.p_tu
+    )
+    SELECT event_type,
+           CAST(SUM(cents // n_touch
+                    + CASE WHEN touch_rank = 1 THEN cents % n_touch ELSE 0 END)
+                AS BIGINT) AS attributed_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM credit
+    GROUP BY event_type
+    """,
+)
+def q_attribution_linear_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tu"),
+        F.round(F.coalesce(F.col("value"), F.lit(0)) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    gap = F.when(
+        F.col("tu") - F.coalesce(F.lag("tu").over(wu), F.col("tu")) > 1_800_000_000,
+        1,
+    ).otherwise(0)
+    s = e.withColumn(
+        "sess",
+        F.sum(gap).over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    touches = s.filter(F.col("event_type") != "purchase").select(
+        "user_id", "sess", "event_id", "event_type", "tu"
+    )
+    purchases = s.filter(
+        (F.col("event_type") == "purchase") & (F.col("cents") > 0)
+    ).select(
+        "user_id", "sess", F.col("event_id").alias("p_id"),
+        F.col("tu").alias("p_tu"), "cents",
+    )
+    joined = purchases.join(touches, ["user_id", "sess"]).filter(
+        F.col("tu") < F.col("p_tu")
+    )
+    wp = Window.partitionBy("user_id", "sess", "p_id")
+    credit = joined.select(
+        "event_type",
+        "cents",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_touch"),
+        F.row_number().over(wp.orderBy("tu", "event_id")).alias("touch_rank"),
+    )
+    return credit.groupBy("event_type").agg(
+        F.sum(
+            F.expr("cents DIV n_touch")
+            + F.when(F.col("touch_rank") == 1, F.expr("cents % n_touch")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("attributed_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+    )
