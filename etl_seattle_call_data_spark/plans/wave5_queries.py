@@ -2570,3 +2570,83 @@ def q_attribution_linear_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("attributed_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (3 rounds, k=3)
+
+
+@register(
+    "kcore_peeling_3round",
+    "3-core peeling of the co-purchase graph, 3 synchronous rounds: "
+    "drop every node with degree < 3, keep only edges whose BOTH "
+    "endpoints survive (two semi-joins), recompute degrees, repeat — "
+    "the dense-subgraph extractor behind community seeds and spam "
+    "rings. The iteration moves NODE SETS (bounded by node count), "
+    "never re-derives the pair table (shared market-basket memo); "
+    "each round is two semi-joins + one degree aggregate. The oracle "
+    "unrolls the rounds as CTEs. Output: surviving core size, edge "
+    "count, and min degree (≥3 iff converged within 3 rounds).",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    e0 AS (
+      SELECT part_a AS src, part_b AS dst FROM prs
+      UNION ALL SELECT part_b, part_a FROM prs
+    ),
+    d0 AS (SELECT src AS node, COUNT(*) AS d FROM e0 GROUP BY src),
+    s1 AS (SELECT node FROM d0 WHERE d >= 3),
+    e1 AS (SELECT src, dst FROM e0
+           WHERE src IN (SELECT node FROM s1) AND dst IN (SELECT node FROM s1)),
+    d1 AS (SELECT src AS node, COUNT(*) AS d FROM e1 GROUP BY src),
+    s2 AS (SELECT node FROM d1 WHERE d >= 3),
+    e2 AS (SELECT src, dst FROM e1
+           WHERE src IN (SELECT node FROM s2) AND dst IN (SELECT node FROM s2)),
+    d2 AS (SELECT src AS node, COUNT(*) AS d FROM e2 GROUP BY src),
+    s3 AS (SELECT node FROM d2 WHERE d >= 3),
+    e3 AS (SELECT src, dst FROM e2
+           WHERE src IN (SELECT node FROM s3) AND dst IN (SELECT node FROM s3)),
+    d3 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e3 GROUP BY src)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+           CAST(COALESCE(SUM(d), 0) // 2 AS BIGINT) AS n_core_edges,
+           CAST(COALESCE(MIN(d), 0) AS BIGINT) AS min_core_degree
+    FROM d3
+    """,
+)
+def q_kcore_peeling_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
+
+    prs = memo_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    edges = prs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        prs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    for _ in range(3):
+        # each round reads `edges` twice (survivor derivation + the semi
+        # probe); without materialization the whole prefix re-executes
+        # down BOTH branches — 2^rounds recompute of the pair join. The
+        # per-round localCheckpoint cuts lineage, exactly the canonical
+        # iterative-graph checkpoint cadence (cf. dedup connected
+        # components); state is the edge set, bounded by the graph.
+        edges = edges.localCheckpoint(eager=True)
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        survivors = deg.filter(F.col("d") >= 3).select("node")
+        edges = edges.join(
+            survivors.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(survivors.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    d3 = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    return d3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+        F.expr("CAST(COALESCE(SUM(d), 0) DIV 2 AS BIGINT)").alias("n_core_edges"),
+        F.coalesce(F.min("d"), F.lit(0)).cast("bigint").alias("min_core_degree"),
+    )
