@@ -2634,7 +2634,7 @@ def q_kcore_peeling_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-round localCheckpoint cuts lineage, exactly the canonical
         # iterative-graph checkpoint cadence (cf. dedup connected
         # components); state is the edge set, bounded by the graph.
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.localCheckpoint(eager=False)
         deg = edges.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("d")
         )
