@@ -2650,3 +2650,150 @@ def q_kcore_peeling_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(COALESCE(SUM(d), 0) DIV 2 AS BIGINT)").alias("n_core_edges"),
         F.coalesce(F.min("d"), F.lit(0)).cast("bigint").alias("min_core_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Score calibration table (deciles of score vs outcome rate)
+
+
+@register(
+    "score_calibration_table",
+    "Calibration table for 'document length predicts English' — the "
+    "companion diagnostic to classifier_auc_exact (AUC measures "
+    "discrimination, this measures calibration): documents rank into "
+    "NTILE-identical score deciles via the two-phase global rank (no "
+    "single-partition sort), and each decile reports its exact "
+    "positive rate in fixed point plus the mean score — the "
+    "reliability-diagram table. One rank pass + one 10-row rollup.",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_fp,
+           CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score_fp
+    FROM d
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q_score_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    ranked, n = ranking.two_phase_rank(
+        docs,
+        order_by=["score", "doc_id"],
+        coarse=F.expr("score DIV 256"),
+        rank_name="rnk",
+    )
+    return (
+        ranked.groupBy(
+            ranking.equidepth_bucket(F.col("rnk"), n, 10).alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.expr("CAST(SUM(y) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+                "pos_rate_fp"
+            ),
+            F.expr("CAST(SUM(score) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_score_fp"
+            ),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            "n_pos",
+            "pos_rate_fp",
+            "mean_score_fp",
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session depth histogram
+
+
+@register(
+    "session_depth_histogram",
+    "Session-depth distribution: sessionize each user's event stream "
+    "(30-min gaps, the attribution query's shape), count events per "
+    "session, and histogram sessions by depth bucket (1, 2-3, 4-7, "
+    "8-15, 16+) — the engagement-shape metric behind bounce-rate "
+    "dashboards. Two per-user windows (full parallelism) + one "
+    "session rollup + one bounded histogram aggregate; depth buckets "
+    "are closed-form integer ranges, no percentile machinery.",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+    ),
+    marks AS (
+      SELECT user_id, tu, event_id,
+             CASE WHEN tu - COALESCE(lag(tu) OVER (
+                    PARTITION BY user_id ORDER BY tu, event_id), tu)
+                  > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM marks
+    ),
+    depth AS (
+      SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sess
+    ),
+    b AS (
+      SELECT CASE WHEN n_events = 1 THEN '1'
+                  WHEN n_events <= 3 THEN '2-3'
+                  WHEN n_events <= 7 THEN '4-7'
+                  WHEN n_events <= 15 THEN '8-15'
+                  ELSE '16+' END AS depth_bucket,
+             n_events
+      FROM depth
+    )
+    SELECT depth_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM b
+    GROUP BY depth_bucket
+    """,
+)
+def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", F.unix_micros("ts").alias("tu"))
+    wu = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    gap = F.when(
+        F.col("tu") - F.coalesce(F.lag("tu").over(wu), F.col("tu")) > 1_800_000_000,
+        1,
+    ).otherwise(0)
+    s = e.withColumn(
+        "sess", F.sum(gap).over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    depth = s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .when(F.col("n_events") <= 7, "4-7")
+        .when(F.col("n_events") <= 15, "8-15")
+        .otherwise("16+")
+    )
+    return depth.groupBy(bucket.alias("depth_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
