@@ -1898,21 +1898,30 @@ _SRC_MH_PERMS = 16
     """,
 )
 def q_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators.util import cache_memo
+
     docs = spread(load_table(spark, sf_dir, "documents"))
+
     # bigram shingles via the zip_with co-walk, md5-hashed to the
-    # portable 60-bit integer (same tokenization as ngram_top_bigrams)
-    sh = (
-        docs.select(
-            "source", F.explode(text.bigrams(F.col("text"))).alias("shingle")
+    # portable 60-bit integer (same tokenization as ngram_top_bigrams).
+    # FOUR consumers (signatures, per-source counts, both arms of the
+    # exact-intersection join) — memoize or the tokenize+distinct runs
+    # four times.
+    def build_sh() -> DataFrame:
+        return (
+            docs.select(
+                "source", F.explode(text.bigrams(F.col("text"))).alias("shingle")
+            )
+            .select(
+                "source",
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("h"),
+            )
+            .distinct()
         )
-        .select(
-            "source",
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
-        .distinct()
-    )
+
+    sh = cache_memo("srcmh:shingles", ("srcmh:shingles", sf_dir), build_sh)
     perms = F.explode(F.sequence(F.lit(0), F.lit(_SRC_MH_PERMS - 1))).alias("p")
     sig = (
         sh.select("source", "h", perms)
