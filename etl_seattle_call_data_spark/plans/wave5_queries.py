@@ -2806,3 +2806,81 @@ def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped weighted quantiles (p25/p50/p75) from one prefix-sum pass
+
+
+@register(
+    "weighted_quantiles_price",
+    "Quantity-weighted p25/p50/p75 line prices per return flag — the "
+    "full weighted-quantile profile from ONE two-phase prefix-sum "
+    "pass (weighted_median_price generalized): each quantile q is the "
+    "minimum price whose inclusive cumulative weight reaches "
+    "ceil(q·total), an integer comparison (4·cumw ≥ totw etc.), so "
+    "all three quantiles fall out of the same cumulative column with "
+    "no extra shuffles. No group ever serializes through one reducer; "
+    "the oracle proves it against DuckDB's plain grouped window "
+    "cumsum.",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice) AS BIGINT) AS price,
+             CAST(round(l_quantity) AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, price, w,
+             SUM(w) OVER (PARTITION BY flag
+                          ORDER BY price, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             SUM(w) OVER (PARTITION BY flag) AS totw
+      FROM v
+    )
+    SELECT flag,
+           CAST(MAX(totw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 4 * cumw >= totw THEN price END) AS BIGINT)
+             AS p25_price,
+           CAST(MIN(CASE WHEN 2 * cumw >= totw THEN price END) AS BIGINT)
+             AS p50_price,
+           CAST(MIN(CASE WHEN 4 * cumw >= 3 * totw THEN price END) AS BIGINT)
+             AS p75_price
+    FROM c
+    GROUP BY flag
+    """,
+)
+def q_weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import ranking
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(floor(l_extendedprice) AS BIGINT)").alias("price"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = ranking.two_phase_cumsum_in_groups(
+        li,
+        group_cols=["flag"],
+        order_by=["price", "l_orderkey", "l_linenumber"],
+        coarse=F.expr("price DIV 1000"),
+        weight=F.col("w"),
+        cum_name="cumw",
+    )
+    tot = cum.groupBy("flag").agg(F.sum("w").cast("long").alias("totw"))
+    j = cum.join(F.broadcast(tot), "flag")
+    return j.groupBy("flag").agg(
+        F.max("totw").cast("bigint").alias("total_weight"),
+        F.min(F.when(4 * F.col("cumw") >= F.col("totw"), F.col("price")))
+        .cast("bigint")
+        .alias("p25_price"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("price")))
+        .cast("bigint")
+        .alias("p50_price"),
+        F.min(F.when(4 * F.col("cumw") >= 3 * F.col("totw"), F.col("price")))
+        .cast("bigint")
+        .alias("p75_price"),
+    )
