@@ -2482,7 +2482,10 @@ def q_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the per-purchase touch counts are per-user windows (full "
     "parallelism); credit flows through one equi-join on "
     "(user, session, purchase-order). Output: attributed cents per "
-    "touch event type.",
+    "touch event type. Scale caveat owned: per-purchase fan-out equals "
+    "its session's touch count, so a pathological never-idle key (bot "
+    "traffic) concentrates credit rows — cap session length upstream "
+    "(the burst-dedup gate) before attribution at 100 TB.",
     """
     WITH e AS (
       SELECT user_id, event_id, event_type,
