@@ -230,6 +230,8 @@ def observed(df: DataFrame, name: str, **metrics: Column):
     """
     from pyspark.sql import Observation
 
+    if not metrics:
+        raise ValueError("observed() needs at least one metric kwarg")
     obs = Observation(name)
     first, *rest = [expr.alias(alias) for alias, expr in metrics.items()]
     return df.observe(obs, first, *rest), obs

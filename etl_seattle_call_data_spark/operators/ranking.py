@@ -34,6 +34,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+_GUARD_MSG = (
+    "two_phase rank/cumsum: coarse bucket or group key is NULL "
+    "— the documented non-null precondition is violated; "
+    "coalesce keys to a sentinel before ranking"
+)
+
+
+def _guarded_bucket(coarse: Column) -> Column:
+    """``coarse.cast("long")`` that RAISES on a NULL bucket instead of
+    silently dropping rows: a NULL coarse bucket would otherwise vanish
+    in the offsets join and produce wrong ranks with no signal.
+    ``raise_error`` fires lazily inside the executors, so the check is
+    free on conforming data — even when the join's inferred
+    ``IsNotNull(__cb)`` filter is pushed below this projection, the
+    pushed predicate rewrites to this CASE and still raises."""
+    cb = coarse.cast("long")
+    return F.when(cb.isNotNull(), cb).otherwise(
+        F.raise_error(F.lit(_GUARD_MSG)).cast("long")
+    )
+
+
+def _guard_group_cols(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Overwrite each group column with a raising-on-NULL copy. The
+    inner offsets join null-filters its keys BELOW the projection, so a
+    guard expressed as a separate check column never sees the pruned
+    rows; rewriting the key itself makes the pushed ``IsNotNull`` filter
+    evaluate the raising CASE on every violating row."""
+    out = df
+    for g, field in zip(group_cols, (df.schema[g] for g in group_cols)):
+        col = F.col(g)
+        out = out.withColumn(
+            g,
+            F.when(col.isNotNull(), col).otherwise(
+                F.raise_error(F.lit(_GUARD_MSG)).cast(field.dataType)
+            ),
+        )
+    return out
+
+
 def two_phase_rank(
     df: DataFrame,
     order_by: list[str],
@@ -52,7 +91,7 @@ def two_phase_rank(
     join of the offsets. No Exchange SinglePartition anywhere.
     """
     spark = df.sparkSession
-    bucketed = df.withColumn("__cb", coarse.cast("long"))
+    bucketed = df.withColumn("__cb", _guarded_bucket(coarse))
     counts = sorted(
         (r["__cb"], r["n"])
         for r in bucketed.groupBy("__cb").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -124,7 +163,9 @@ def two_phase_rank_in_groups(
     own rows. ``coarse`` must be order-aligned with the leading
     ``order_by`` column and non-null.
     """
-    bucketed = df.withColumn("__cb", coarse.cast("long"))
+    bucketed = _guard_group_cols(df, group_cols).withColumn(
+        "__cb", _guarded_bucket(coarse)
+    )
     counts = bucketed.groupBy(*group_cols, "__cb").agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -168,9 +209,9 @@ def two_phase_cumsum_in_groups(
     the leading ``order_by`` column and non-null; ``weight`` must be
     non-null.
     """
-    bucketed = df.withColumn("__cb", coarse.cast("long")).withColumn(
-        "__w", weight.cast("long")
-    )
+    bucketed = _guard_group_cols(df, group_cols).withColumn(
+        "__cb", _guarded_bucket(coarse)
+    ).withColumn("__w", weight.cast("long"))
     totals = bucketed.groupBy(*group_cols, "__cb").agg(
         F.sum("__w").alias("__bw")
     )

@@ -66,10 +66,16 @@ def cosine_pairs(
     vec_col: str = "embedding",
     dims: int | None = None,
     salt: int = 8,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """Near-duplicate embedding pairs with cosine ≥ threshold, blocked by
     ``block_col`` (e.g. a cluster/label/LSH bucket) so the join is an
     equi-join, not a corpus cross-join.
+
+    ``block_col=None`` is a true O(n²) corpus cross-join — it exists
+    only for tiny eval sets, so it must be requested explicitly with
+    ``allow_cross_join=True``; otherwise we raise rather than let a
+    library user trip a cartesian product silently.
 
     The block join is salted ``salt`` ways: one block = one join
     partition otherwise, and the dot-product work (CPU-heavy, byte-
@@ -77,6 +83,12 @@ def cosine_pairs(
     distinct blocks exist. Side A takes hash(id)%salt, side B is
     replicated to every salt value, so each pair still meets exactly
     once and a hot block spreads over ``salt`` tasks."""
+    if block_col is None and not allow_cross_join:
+        raise ValueError(
+            "cosine_pairs(block_col=None) is an O(n^2) corpus cross-join; "
+            "pass a blocking column (cluster/label/LSH bucket) or opt in "
+            "explicitly with allow_cross_join=True for tiny eval sets"
+        )
     q = with_quantized(_spread(df), vec_col)
     cols = [F.col(id_col), F.col("qvec"), F.col("qnorm2")] + (
         [F.col(block_col)] if block_col else []

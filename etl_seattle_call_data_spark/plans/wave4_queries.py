@@ -1203,7 +1203,11 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tri_e")
         )
     )
-    tri = probed.agg(F.sum("tri_e").cast("bigint").alias("n_triangles"))
+    # coalesce: SUM over an empty oriented edge set is NULL, but the
+    # oracle's 3-way-join COUNT yields 0 — keep the empty-graph case exact.
+    tri = probed.agg(
+        F.coalesce(F.sum("tri_e"), F.lit(0)).cast("bigint").alias("n_triangles")
+    )
     wcount = deg.agg(
         F.sum(F.expr("(d * (d - 1)) DIV 2")).cast("bigint").alias("n_wedges"),
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),

@@ -1360,6 +1360,10 @@ def q_shortest_path_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("d").cast("bigint").alias("d"))
+            # per-round lineage cut, same cadence as kcore_peeling_3round:
+            # plan depth stays constant per round so the relax count can
+            # grow without re-deriving every prior round's join
+            .localCheckpoint(eager=False)
         )
     return (
         dist.select(F.col("node").alias("part"), F.col("d").alias("dist_fp"))

@@ -572,3 +572,42 @@ def test_observed_metrics_ride_the_action(spark):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     ).collect()[0][0]
     assert got["total_price_cents"] == explicit
+
+
+def test_observed_without_metrics_raises(spark):
+    from etl_seattle_call_data_spark.operators import dq
+
+    df = spark.createDataFrame([(1,)], "id int")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one metric"):
+        dq.observed(df, "empty_metrics")
+
+
+def test_two_phase_rank_null_bucket_raises(spark):
+    """Null coarse bucket / group key must fail loudly, not silently
+    drop rows (documented non-null precondition)."""
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+    from etl_seattle_call_data_spark.operators import ranking
+
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id int, v int"
+    )
+    with _pytest.raises((PySparkRuntimeError, SparkRuntimeException, Exception), match="non-null precondition"):
+        ranking.two_phase_rank(df, ["v"], F.col("v") / 10)
+    ranked = ranking.two_phase_rank_in_groups(
+        df, ["id"], ["v"], F.coalesce(F.col("v") / 10, F.lit(0))
+    )
+    with _pytest.raises(Exception, match="non-null precondition"):
+        grouped_null = spark.createDataFrame(
+            [(None, 10), (1, 20)], "g int, v int"
+        )
+        ranking.two_phase_rank_in_groups(
+            grouped_null, ["g"], ["v"], F.col("v") / 10
+        ).collect()
+    # conforming data still ranks exactly
+    ok = {
+        (r.id, r.group_rank)
+        for r in ranked.filter(F.col("v").isNotNull()).collect()
+    }
+    assert ok == {(1, 1), (3, 1)}

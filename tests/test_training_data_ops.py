@@ -492,3 +492,19 @@ def test_scalar_quantize_constant_dimension_is_code_zero(spark):
     # dim0 spans [0,3] -> codes 0,85,170,255; dim1 contributes code 0
     assert got[0].code_sum == 0 and got[3].code_sum == 255
     assert got[0].max_abs_err == 0.0  # both dims reconstruct exactly for vec 0
+
+
+def test_cosine_pairs_blockless_requires_optin(spark):
+    """block_col=None is a corpus cross-join: raise unless the caller
+    opts in explicitly (VERDICT r4 nit — silent cartesian guard)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    with pytest.raises(ValueError, match="allow_cross_join"):
+        similarity.cosine_pairs(emb, threshold=0.5, block_col=None)
+    # the explicit opt-in still works on tiny eval sets
+    pairs = similarity.cosine_pairs(
+        emb, threshold=0.5, block_col=None, allow_cross_join=True, salt=1
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}

@@ -74,6 +74,17 @@ def main() -> int:
     host = 1.0
     if common and not ns.no_host_norm:
         host = statistics.median(new[n] / old[n] for n in common)
+        if not (0.7 <= host <= 1.6):
+            # a fleet-wide real slowdown (global config / session change)
+            # is indistinguishable from hardware drift once normalized out —
+            # flag it loudly instead of silently absorbing it
+            print(
+                f"WARNING: host-speed median {host:.3f} is outside the "
+                "plausible drift band [0.7, 1.6]; a fleet-wide code "
+                "regression would be normalized away. Re-run with "
+                "--no-host-norm to inspect raw ratios.",
+                file=sys.stderr,
+            )
     regressed = [
         (n, old[n], new[n])
         for n in common
