@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_seattle_call_data_spark.operators import dedup, sampling, text
-from etl_seattle_call_data_spark.operators.util import cache_swap, register_cached
 
 
 @dataclass(frozen=True)
@@ -62,19 +61,24 @@ def build_training_corpus(
     ``[{stage, rows_in, rows_out}, ...]`` (forces one count per stage
     boundary — the numbers every corpus release ships with)."""
     report: list[dict] = []
-    # key hygiene (util.cache_swap docstring): bake the INPUT's identity
-    # into every stage key — two pipelines over different corpora in one
-    # session must not evict each other's entries. The semantic hash of
-    # the analyzed input plan is a plan-side fingerprint (no job).
-    run_tag = f"{id_col}:{text_col}:{docs._jdf.queryExecution().analyzed().semanticHash()}"
-    stage_keys: list[str] = []
 
     def stage(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
-        # cache the survivor frame: it feeds both the count and the next
-        # stage, and several stages re-reference their input repeatedly
-        key = f"corpus_pipeline:{run_tag}:{name}"
-        out = cache_swap(key, after)
-        stage_keys.append(key)
+        # materialize the survivor frame once per stage boundary: it
+        # feeds both the report count and the next stage, and several
+        # stages re-reference their input repeatedly. localCheckpoint
+        # (not CacheManager persist): the chained stage survivors would
+        # otherwise form cache-on-cache entries, and Spark 4.1's lazy
+        # TableCacheQueryStage materialization can then rebuild a
+        # dependent entry on an AQE thread with no active session — an
+        # NPE first observed at sf1 (CacheManager.tryRebuildCacheEntry).
+        # The checkpoint also truncates lineage harder than a cache hit
+        # would, keeping the six-stage composed plan constant-depth; the
+        # count below is the materializing action, and blocks free via
+        # ContextCleaner as each stage's reference is dropped when the
+        # pipeline advances. Cross-invocation reuse still comes from the
+        # one expensive shared intermediate (the shingle table memo in
+        # dedup.jaccard_pairs) rather than per-stage survivor frames.
+        out = after.localCheckpoint(eager=False)
         report.append(
             {"stage": name, "rows_in": before.count(), "rows_out": out.count()}
         )
@@ -144,10 +148,8 @@ def build_training_corpus(
     report.append(
         {"stage": "split", "rows_in": report[-1]["rows_out"], "rows_out": report[-1]["rows_out"]}
     )
-    # release intermediate stage caches now the report counts are taken:
-    # every stage is materialized, so only the LAST survivor frame (the
-    # returned corpus's direct parent) still earns its executor memory —
-    # earlier stages would otherwise stay pinned for the session lifetime
-    for key in stage_keys[:-1]:
-        register_cached(key, None)
+    # storage reclamation: localCheckpoint blocks free via ContextCleaner
+    # once each stage frame's last reference is dropped — intermediate
+    # stages are only referenced by the NEXT stage's build, so they become
+    # collectable as the pipeline advances; no registry bookkeeping needed
     return out, report

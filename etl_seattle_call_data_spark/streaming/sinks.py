@@ -133,15 +133,23 @@ class KeyedUpsertSink:
         touched = sorted(r[0] for r in batch.select("__bucket").distinct().collect())
         if not touched:
             return
-        existing = []
+        # group touched buckets by the epoch dir that currently owns them:
+        # ONE partition-discovered read per distinct dir (plan legs scale
+        # with #dirs — bounded by retained epochs and collapsing as new
+        # epochs rewrite buckets — not with #touched buckets), and the
+        # bucket restriction is a partition-pruned IN filter, so only the
+        # touched __bucket=N leaf dirs are ever listed or scanned
+        by_dir: dict[str, list[int]] = {}
         for b in touched:
             if str(b) in manifest:
-                p = os.path.join(self.path, manifest[str(b)], f"__bucket={b}")
-                # the partition column is encoded in the dir name; restore
-                # it so the union keeps rows addressable by bucket
-                existing.append(
-                    spark.read.parquet(p).withColumn("__bucket", F.lit(b).cast("int"))
+                by_dir.setdefault(manifest[str(b)], []).append(b)
+        existing = []
+        for d, bs in by_dir.items():
+            existing.append(
+                spark.read.parquet(os.path.join(self.path, d)).filter(
+                    F.col("__bucket").isin(bs)
                 )
+            )
         merged = batch
         for f in existing:
             merged = merged.unionByName(f, allowMissingColumns=True)

@@ -773,3 +773,106 @@ def test_dq_gate_quarantines_and_passes(spark, tmp_path):
     assert got[5] == ["foreign_key:ref->ref_id", "not_null:v"]
     # clean rows carry no gate columns
     assert "dq_violations" not in clean_rows[0].asDict()
+
+
+# ---------------------------------------------------------------------------
+# Kafka seam: producer → FileKafkaBroker → kafka-schema stream → upsert sink
+
+
+def test_kafka_like_broker_offsets_and_partitioning(tmp_path):
+    """Broker contract: per-partition monotone offsets persisted across
+    producer restarts; same key → same partition; round-robin keyless."""
+    from etl_seattle_call_data_spark.streaming.kafkalike import FileKafkaBroker
+
+    broker = FileKafkaBroker(str(tmp_path / "kafka"))
+    broker.create_topic("calls", partitions=3)
+
+    p1 = broker.producer()
+    p1.send("calls", b"v1", key=b"A")
+    p1.send("calls", b"v2", key=b"A")
+    p1.send("calls", b"v3", key=b"B")
+    assert p1.flush() == 3
+
+    # a NEW producer continues the same offset ledger (broker state, not
+    # producer state — the reconnect case)
+    p2 = broker.producer()
+    p2.send("calls", b"v4", key=b"A")
+    p2.flush()
+
+    import glob
+    import json as _json
+
+    rows = []
+    for seg in glob.glob(str(tmp_path / "kafka" / "calls" / "partition=*" / "segment-*.jsonl")):
+        rows += [_json.loads(line) for line in open(seg)]
+    by_key: dict[str, list[dict]] = {}
+    for r in rows:
+        import base64
+        k = base64.b64decode(r["key_b64"]).decode()
+        by_key.setdefault(k, []).append(r)
+    a_parts = {r["partition"] for r in by_key["A"]}
+    assert len(a_parts) == 1  # keyed records stick to one partition
+    # offsets are a PER-PARTITION ledger across all keys: each partition's
+    # log is gap-free and monotone from 0
+    by_part: dict[int, list[int]] = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for offsets in by_part.values():
+        assert sorted(offsets) == list(range(len(offsets)))
+    assert sum(broker.end_offsets("calls").values()) == 4
+
+
+def test_kafka_seam_end_to_end_upsert(spark, tmp_path):
+    """The full reference round-trip (producer.py:22-37 →
+    consumer_cassandra.py:247-259) against the file-backed broker:
+    KafkaFeeder produces JSON to the broker, the Kafka-schema stream
+    decodes and upserts, last write wins per key."""
+    from etl_seattle_call_data_spark.streaming.feeder import CallableSource, KafkaFeeder
+    from etl_seattle_call_data_spark.streaming.kafkalike import (
+        KAFKA_SOURCE_SCHEMA,
+        FileKafkaBroker,
+        kafka_like_stream,
+    )
+    from etl_seattle_call_data_spark.streaming.transforms import decode_json_payload
+
+    broker = FileKafkaBroker(str(tmp_path / "kafka"))
+    broker.create_topic("calls", partitions=2)
+    producer = broker.producer()
+
+    polls = [
+        [_record("A", "1", "120 s", "unstamped"), _record("B", "2", "60s", "unstamped")],
+        [_record("A", "9", "~300~", "unstamped"), _record("C", "3", "45", "unstamped")],
+    ]
+    it = iter(polls)
+    feeder = KafkaFeeder(
+        CallableSource(lambda: next(it)),
+        topic="calls",
+        send=lambda t, v: producer.send(t, v, key=None),
+    )
+
+    feeder.poll_once()
+    producer.flush()
+
+    stream = kafka_like_stream(spark, str(tmp_path / "kafka"), "calls", max_files_per_trigger=4)
+    # drop-in for the real source: same names and types (nullability of
+    # literal-derived cols differs, which Spark ignores for compatibility)
+    assert [(f.name, f.dataType) for f in stream.schema] == [
+        (f.name, f.dataType) for f in KAFKA_SOURCE_SCHEMA
+    ]
+    decoded = decode_json_payload(stream, STREAM_SCHEMA)
+
+    sink = KeyedUpsertSink(str(tmp_path / "store"), key="cad_event_number", order_col="processed_at")
+    q = run_upsert_stream(decoded, sink, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+
+    time.sleep(1.1)  # distinct second-resolution processed_at stamps
+    feeder.poll_once()
+    producer.flush()
+    q.processAllAvailable()
+    q.stop()
+
+    out = {r.cad_event_number: r for r in sink.read(spark).collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert out["A"].priority == "9"  # poll-2 update won
+    assert out["A"].call_sign_response_time_s_ == 300  # duration cleaning ran
+    assert out["C"].call_sign_response_time_s_ == 45

@@ -51,7 +51,17 @@ def main() -> int:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # Default-config session on local[8] = driver-contract simulation.
+    # For off-contract scale runs (sf1+), opt-in knobs size the JVM to
+    # the SF — the driver itself never runs those SFs:
+    #   SPARK_GRAFT_VERIFY_CPUS=16 SPARK_GRAFT_DRIVER_MEM=8g
+    builder = SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_VERIFY_CPUS', '8')}]"
+    )
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
