@@ -194,10 +194,10 @@ def test_transform_with_state_carries_across_batches(spark, src, tmp_path):
     the API); two files -> two batches -> the second output reflects
     accumulated state, proving state round-trips through RocksDB.
 
-    The TWS driver worker speaks protobuf to the state server; in a
-    container without google.protobuf the worker crashes at import, so
-    the test skips there (the applyInPandasWithState suite above covers
-    the same semantics on the stock state path)."""
+    The TWS driver worker speaks protobuf to the state server; this
+    container ships no google.protobuf, so conftest wires in
+    vendor/protobuf_shim (the Cloud SDK's pure-Python runtime, aliased).
+    Skips only if neither a real protobuf nor the shim resolves."""
     pytest.importorskip("google.protobuf", reason="transformWithState worker needs protobuf")
     from etl_seattle_call_data_spark.streaming.stateful import running_totals_tws
 
