@@ -40,8 +40,24 @@ else
   echo "no committed BENCH_DETAIL.json yet; skipping"
 fi
 
-echo "=== 4/4 plan markers ==="
+echo "=== 4/5 plan markers ==="
 python tools/plan_dump.py >/dev/null 2>&1 && echo "plans OK" || { echo "FAIL: unexpected plan markers"; fail=1; }
+
+echo "=== 5/5 registry doc drift ==="
+python - <<'PY' || fail=1
+import re
+from etl_seattle_call_data_spark.plans.queries import REGISTRY
+
+n = len(REGISTRY)
+readme = open("README.md").read()
+m = re.search(r"Currently (\d+)\s*\nqueries, ALL (\d+) oracle-paired", readme)
+assert m, "README.md no longer states the registry count"
+assert int(m.group(1)) == n and int(m.group(2)) == n, (
+    f"README says {m.group(1)}/{m.group(2)} queries but the live registry has {n} — "
+    "update README.md (and SURVEY.md §2.9) before ending the round"
+)
+print(f"doc counts OK: {n} queries")
+PY
 
 [ "$fail" = 0 ] && echo "ROUNDCHECK GREEN" || echo "ROUNDCHECK FAILED"
 exit $fail
