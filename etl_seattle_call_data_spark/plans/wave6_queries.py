@@ -1165,3 +1165,350 @@ def q_kmv_set_ops_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV NULLIF(exact_inter, 0), 0) AS BIGINT)"
         ).alias("inter_err_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column value-distribution profiling (mode, min-entropy) via unpivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_column_distributions",
+    "Value-distribution profile per categorical column (status, "
+    "priority, order month): exact distinct count, deterministic mode "
+    "(highest count, ties broken by MAX value — no composite arg_max, "
+    "rule 23), mode frequency, and min-entropy −log2(p_max) in whole "
+    "bits via the log-free length(bin(n DIV mode_n))−1 idiom "
+    "(zipf_bitlength precedent). The complement to profile_orders' "
+    "null/min-max scan: this is the skew/anonymity side of profiling. "
+    "One unpivoted scan → one grouped count per (col, value) — value "
+    "cardinality-sized, not row-sized — then a |cols|-row rollup.",
+    """
+    WITH u AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_month', CAST(month(o_orderdate) AS VARCHAR) FROM orders
+    ),
+    vc AS (
+      SELECT col, val, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY col, val
+    ),
+    agg AS (
+      SELECT col, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS mode_n
+      FROM vc GROUP BY col
+    )
+    SELECT agg.col, agg.n_distinct,
+           MAX(CASE WHEN vc.cnt = agg.mode_n THEN vc.val END) AS mode_val,
+           agg.mode_n,
+           CAST(length(bin(agg.n_rows // agg.mode_n)) - 1 AS INTEGER)
+             AS min_entropy_bits
+    FROM agg JOIN vc ON agg.col = vc.col
+    GROUP BY agg.col, agg.n_distinct, agg.mode_n, agg.n_rows
+    """,
+)
+def q_profile_column_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    u = o.selectExpr(
+        "stack(3, 'o_orderstatus', o_orderstatus,"
+        " 'o_orderpriority', o_orderpriority,"
+        " 'o_month', CAST(month(o_orderdate) AS STRING)) AS (col, val)"
+    )
+    vc = u.groupBy("col", "val").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    agg = vc.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("mode_n"),
+    )
+    return (
+        agg.join(vc, "col")
+        .groupBy("col", "n_distinct", "mode_n", "n_rows")
+        .agg(
+            F.max(F.when(F.col("cnt") == F.col("mode_n"), F.col("val"))).alias(
+                "mode_val"
+            )
+        )
+        .select(
+            "col",
+            "n_distinct",
+            "mode_val",
+            "mode_n",
+            (F.length(F.bin(F.expr("n_rows DIV mode_n"))) - 1)
+            .cast("int")
+            .alias("min_entropy_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Half-sample (delete-half jackknife) median stability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subsample_median_stability",
+    "Estimator-stability check: 8 deterministic half-samples of orders "
+    "(bit b of a 60-bit md5 key hash selects each half — overlapping "
+    "balanced replicas, the poor man's bootstrap that needs no RNG "
+    "state and reproduces on any engine/partitioning) and the exact "
+    "interpolated median of each (rule 7: percentile ≡ quantile_cont "
+    "bit-for-bit). The spread across replicas is the sampling-error "
+    "bar a 100 TB report should ship with its point estimate. One "
+    "8× narrow explode + one grouped percentile shuffle.",
+    """
+    WITH h AS (
+      SELECT o_totalprice,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM orders
+    ),
+    r AS (SELECT unnest(range(0, 8)) AS b)
+    SELECT CAST(b AS INTEGER) AS b, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           quantile_cont(o_totalprice, 0.5) AS median_price
+    FROM h CROSS JOIN r
+    WHERE ((hv >> b) & 1) = 1
+    GROUP BY b
+    """,
+)
+def q_subsample_median_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        "o_totalprice",
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    return (
+        h.select(
+            "o_totalprice",
+            "hv",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
+        )
+        .filter(F.expr("((hv >> b) & 1) = 1"))
+        .groupBy(F.col("b").cast("int").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion survival curve (first exposure -> first purchase)
+# ---------------------------------------------------------------------------
+
+_SURV_HORIZONS = (60, 600, 3600, 86400, 604800)
+
+
+@register(
+    "conversion_survival_curve",
+    "Time-to-convert survival curve: per user, latency from FIRST view "
+    "to FIRST purchase (exact microsecond difference, rule 11), then "
+    "for each horizon in {1m, 10m, 1h, 1d, 7d} the share of converting "
+    "users still unconverted at that horizon — the empirical survival "
+    "function S(h), all counting + one fixed-point ratio per horizon "
+    "(no Kaplan-Meier products, which would need libm). Two grouped "
+    "min-aggregations and a 5× explode of the per-user latency table; "
+    "output is |horizons| rows.",
+    f"""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    fp AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    lat AS (
+      SELECT (epoch_us(t1) - epoch_us(t0)) // 1000000 AS lat_s
+      FROM fv JOIN fp USING (user_id)
+      WHERE t1 >= t0
+    )
+    SELECT horizon_s, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN lat_s > horizon_s THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_surviving,
+           CAST(SUM(CASE WHEN lat_s > horizon_s THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS survival_fp
+    FROM lat CROSS JOIN (SELECT unnest({list(_SURV_HORIZONS)}) AS horizon_s)
+    GROUP BY horizon_s
+    """,
+)
+def q_conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(alias))
+        )
+
+    lat = (
+        first_ts("view", "t0")
+        .join(first_ts("purchase", "t1"), "user_id")
+        .filter(F.col("t1") >= F.col("t0"))
+        .select(
+            F.expr("(unix_micros(t1) - unix_micros(t0)) DIV 1000000").alias("lat_s")
+        )
+    )
+    horizons = F.array(*[F.lit(h) for h in _SURV_HORIZONS])
+    return (
+        lat.select("lat_s", F.explode(horizons).alias("horizon_s"))
+        .groupBy("horizon_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.when(F.col("lat_s") > F.col("horizon_s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_surviving"),
+        )
+        .withColumn(
+            "survival_fp",
+            F.expr("CAST(n_surviving * 1000000 DIV n_users AS BIGINT)"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per-user consecutive-active-day streaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_activity_streaks",
+    "Per-user activity streaks via gaps-and-islands: distinct active "
+    "days → day-number minus row-number collapses each consecutive run "
+    "to one island key (the classic streak idiom) → per-user longest "
+    "streak, island count, active-day count. The window partitions by "
+    "user and is bounded by that user's active days (≤ horizon days), "
+    "never by corpus size; day numbers come from datediff against a "
+    "fixed epoch so both engines count identical integers.",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, dn,
+             dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS max_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "dn"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dn")
+    runs = (
+        d.withColumn("grp", F.col("dn") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("max_streak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery (g3 violation measure)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "functional_dependency_check",
+    "Approximate functional-dependency discovery: for each candidate "
+    "X→Y the number of determinant groups, the groups where Y is not "
+    "unique, and the g3 measure (minimum rows to delete for the FD to "
+    "hold = Σ_X (group size − mode Y count) — Kivinen & Mannila's "
+    "standard approximation metric). Each candidate is one grouped "
+    "count on (X, Y) — value-pair-sized — rolled up to one row; the "
+    "profiler that tells a schema designer which constraints the data "
+    "actually supports before they bet a 100 TB layout on them.",
+    """
+    WITH c1 AS (
+      SELECT p_brand AS x, p_type AS y FROM part
+    ), c2 AS (
+      SELECT p_type AS x, p_brand AS y FROM part
+    ), c3 AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS x, CAST(l_suppkey AS VARCHAR) AS y
+      FROM lineitem
+    ), c4 AS (
+      SELECT CAST(o_orderdate AS VARCHAR) AS x, o_orderpriority AS y FROM orders
+    ),
+    u AS (
+      SELECT 'p_brand->p_type' AS fd, x, y FROM c1
+      UNION ALL SELECT 'p_type->p_brand', x, y FROM c2
+      UNION ALL SELECT 'l_partkey->l_suppkey', x, y FROM c3
+      UNION ALL SELECT 'o_orderdate->o_orderpriority', x, y FROM c4
+    ),
+    xy AS (
+      SELECT fd, x, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY fd, x, y
+    ),
+    gx AS (
+      SELECT fd, x, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(MAX(cnt) AS BIGINT) AS mode_cnt,
+             CAST(COUNT(*) AS BIGINT) AS n_y
+      FROM xy GROUP BY fd, x
+    )
+    SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(total - mode_cnt) AS BIGINT) AS g3_rows
+    FROM gx GROUP BY fd
+    """,
+)
+def q_functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cands = [
+        ("p_brand->p_type", part.select(F.col("p_brand").alias("x"), F.col("p_type").alias("y"))),
+        ("p_type->p_brand", part.select(F.col("p_type").alias("x"), F.col("p_brand").alias("y"))),
+        (
+            "l_partkey->l_suppkey",
+            li.select(
+                F.col("l_partkey").cast("string").alias("x"),
+                F.col("l_suppkey").cast("string").alias("y"),
+            ),
+        ),
+        (
+            "o_orderdate->o_orderpriority",
+            o.select(
+                F.col("o_orderdate").cast("string").alias("x"),
+                F.col("o_orderpriority").alias("y"),
+            ),
+        ),
+    ]
+    u = None
+    for fd, df in cands:
+        tagged = df.select(F.lit(fd).alias("fd"), "x", "y")
+        u = tagged if u is None else u.unionByName(tagged)
+    xy = u.groupBy("fd", "x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    gx = xy.groupBy("fd", "x").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.max("cnt").cast("bigint").alias("mode_cnt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_y"),
+    )
+    return gx.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n_y") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(F.col("total") - F.col("mode_cnt")).cast("bigint").alias("g3_rows"),
+    )
