@@ -1512,3 +1512,99 @@ def q_functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("n_violating_groups"),
         F.sum(F.col("total") - F.col("mode_cnt")).cast("bigint").alias("g3_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join within tolerance (both directions)
+# ---------------------------------------------------------------------------
+
+_NEAR_TOL_US = 600_000_000  # ±10 minutes
+
+
+@register(
+    "asof_nearest_click_to_purchase",
+    "Nearest as-of join: for each purchase, the user's closest click "
+    "within ±10 minutes in EITHER direction (the asof 'nearest' "
+    "semantics pandas.merge_asof offers and plain SQL lacks; the "
+    "backward-only variant is asof_last_click_before_purchase). "
+    "Scale plan: no inequality join ever touches the fact tables — "
+    "purchases probe 3 tolerance-width time buckets via an equi-join "
+    "(the banded range-join trick), so candidates per purchase are "
+    "bounded by click density within ±1 bucket; rank by (|gap|, id) "
+    "picks the winner. Unmatched purchases keep a −1 sentinel "
+    "(NULL-free output, pandas BIGINT widening).",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us,
+             epoch_us(ts) // {_NEAR_TOL_US} AS cb
+      FROM events WHERE event_type = 'click'
+    ),
+    probe AS (
+      SELECT purchase_id, user_id, p_us,
+             p_us // {_NEAR_TOL_US} + unnest([-1, 0, 1]) AS b
+      FROM p
+    ),
+    cand AS (
+      SELECT probe.purchase_id, probe.user_id, probe.p_us, c.click_id,
+             p_us - c_us AS gap_us,
+             ROW_NUMBER() OVER (PARTITION BY probe.purchase_id
+                                ORDER BY abs(p_us - c_us), c.click_id) AS rn
+      FROM probe JOIN c ON c.user_id = probe.user_id AND c.cb = probe.b
+      WHERE abs(p_us - c_us) <= {_NEAR_TOL_US}
+    ),
+    best AS (SELECT purchase_id, click_id, gap_us FROM cand WHERE rn = 1)
+    SELECT p.purchase_id, p.user_id,
+           COALESCE(best.click_id, -1) AS click_id,
+           COALESCE(best.gap_us, 0) AS gap_us
+    FROM p LEFT JOIN best ON p.purchase_id = best.purchase_id
+    """,
+)
+def q_asof_nearest_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+        F.expr(f"unix_micros(ts) DIV {_NEAR_TOL_US}").alias("cb"),
+    )
+    probe = p.select(
+        "purchase_id",
+        "user_id",
+        "p_us",
+        F.explode(
+            F.array(
+                F.expr(f"p_us DIV {_NEAR_TOL_US} - 1"),
+                F.expr(f"p_us DIV {_NEAR_TOL_US}"),
+                F.expr(f"p_us DIV {_NEAR_TOL_US} + 1"),
+            )
+        ).alias("b"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.abs(F.col("p_us") - F.col("c_us")), "click_id"
+    )
+    best = (
+        probe.join(c, (probe.user_id == c.c_user) & (probe.b == c.cb))
+        .filter(F.abs(F.col("p_us") - F.col("c_us")) <= _NEAR_TOL_US)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("purchase_id").alias("bp"),
+            "click_id",
+            (F.col("p_us") - F.col("c_us")).alias("gap_us"),
+        )
+    )
+    return p.join(best, p.purchase_id == best.bp, "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("click_id"), F.lit(-1)).cast("bigint").alias("click_id"),
+        F.coalesce(F.col("gap_us"), F.lit(0)).cast("bigint").alias("gap_us"),
+    )
