@@ -471,6 +471,53 @@ def cluster_representatives(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed shingle-CONTAINMENT near-duplicate pairs:
+    C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+    asymmetric companion to Jaccard that catches subset duplicates
+    (a doc wholly embedded in a longer one scores C≈1 even when
+    Jaccard is low because the container is much larger; the standard
+    secondary signal in suffix-array/CCNet-style dedup).
+
+    Candidates come from the SAME df-capped shared-shingle equi-join as
+    ``jaccard_pairs`` (including its cache_swap'd shingle tables — on
+    the same corpus the two operators share one tokenize pass), so the
+    fan-out bound is identical: ≤ max_df² per shingle, linear in corpus
+    size. Output is directed: (contained_id, container_id, containment)
+    for every ordered pair with containment ≥ threshold; each undirected
+    candidate contributes at most two rows."""
+    sh = cache_swap("doc_shingles", shingle_sets(df, id_col, text_col, n))
+    if max_df is not None:
+        sh = cache_swap("jaccard_shingles", cap_document_frequency(sh, max_df))
+    inter = _shared_shingle_pairs(sh, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    joined = inter.join(sa, "id_a").join(sb, "id_b")
+    ab = joined.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("n_inter").cast("double") / F.col("size_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    ba = joined.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("n_inter").cast("double") / F.col("size_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
+
+
 def contamination_overlap(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -554,3 +554,4 @@ from etl_seattle_call_data_spark.plans import scale_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import wave4_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import wave5_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import wave6_queries  # noqa: E402,F401
+from etl_seattle_call_data_spark.plans import wave7_queries  # noqa: E402,F401
