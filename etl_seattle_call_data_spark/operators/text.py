@@ -48,6 +48,53 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), F.lit(0)))
 
 
+def bpe_canonical(word: Column | str) -> Column:
+    """Canonical BPE sequence form: every token wrapped in pipes and
+    concatenated — 'ab' → '|a||b|'. In this form a merge of the
+    adjacent pair (x, y) is the PLAIN substring replace of '|x||y|'
+    with '|xy|': SQL replace() scans left-to-right over the original
+    string and never rescans its own output, which is exactly BPE's
+    greedy non-overlapping merge semantics ([a,a,a] merges the first
+    (a,a) only). Tokens must not contain '|' (callers pre-filter to
+    ^[a-z]+$)."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.regexp_replace(c, "(.)", "|$1|")
+
+
+def bpe_tokens(seq: Column | str) -> Column:
+    """Token array of a canonical BPE sequence (inverse of the
+    wrapping; '|ab||c|' → ['ab','c'])."""
+    c = F.col(seq) if isinstance(seq, str) else seq
+    return F.filter(F.split(c, "\\|"), lambda x: x != "")
+
+
+def bpe_adjacent_pairs(tokens_col: Column) -> Column:
+    """Array of adjacent-token pairs as 'x y' strings — the BPE merge
+    candidates. Pure array expression (element_at over sequence): no
+    self-join, no Python; ≡ DuckDB list_transform(range(1, len(t)),
+    i -> t[i] || ' ' || t[i+1])."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - 1),
+        lambda i: F.concat(
+            F.element_at(tokens_col, i),
+            F.lit(" "),
+            F.element_at(tokens_col, i + 1),
+        ),
+    )
+
+
+def bpe_apply_merge(seq: Column | str, pair: Column) -> Column:
+    """Apply one BPE merge to a canonical sequence: replace '|x||y|'
+    with '|xy|' for the pair 'x y' (greedy left-to-right, see
+    bpe_canonical)."""
+    c = F.col(seq) if isinstance(seq, str) else seq
+    return F.replace(
+        c,
+        F.concat(F.lit("|"), F.replace(pair, F.lit(" "), F.lit("||")), F.lit("|")),
+        F.concat(F.lit("|"), F.replace(pair, F.lit(" "), F.lit("")), F.lit("|")),
+    )
+
+
 def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens(text), lambda x: x.isin(*words)))
 

@@ -1036,6 +1036,8 @@ def _bpe_round_sql(prev: str, out_v: str, out_t: str, rnd: int) -> str:
     """,
 )
 def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import text
+
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -1045,46 +1047,21 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
     )
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f")).select(
-        F.regexp_replace("w", "(.)", "|$1|").alias("seq"), "f"
+        text.bpe_canonical("w").alias("seq"), "f"
     )
 
     def bpe_round(v: DataFrame) -> tuple[DataFrame, DataFrame]:
-        t = F.filter(F.split("seq", "\\|"), lambda x: x != "")
+        t = text.bpe_tokens("seq")
         pairs = (
             v.select(t.alias("t"), "f")
             .filter(F.size("t") >= 2)
-            .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("t") - 1),
-                        lambda i: F.concat(
-                            F.element_at(F.col("t"), i),
-                            F.lit(" "),
-                            F.element_at(F.col("t"), i + 1),
-                        ),
-                    )
-                ).alias("bg"),
-                "f",
-            )
+            .select(F.explode(text.bpe_adjacent_pairs(F.col("t"))).alias("bg"), "f")
             .groupBy("bg")
             .agg(F.sum("f").cast("bigint").alias("n"))
         )
         top = pairs.orderBy(F.desc("n"), "bg").limit(1)
         merged = v.crossJoin(F.broadcast(top)).select(
-            F.replace(
-                F.col("seq"),
-                F.concat(
-                    F.lit("|"),
-                    F.replace(F.col("bg"), F.lit(" "), F.lit("||")),
-                    F.lit("|"),
-                ),
-                F.concat(
-                    F.lit("|"),
-                    F.replace(F.col("bg"), F.lit(" "), F.lit("")),
-                    F.lit("|"),
-                ),
-            ).alias("seq"),
-            "f",
+            text.bpe_apply_merge("seq", F.col("bg")).alias("seq"), "f"
         )
         return top, merged
 
