@@ -1397,16 +1397,18 @@ def q_shortest_path_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fp AS (SELECT pa, pb FROM prs WHERE n >= 2),
     tri AS (
+      -- fp rows are unique (pa, pb) pairs, so these INNER joins are
+      -- exact semi-join prunes (no duplication) — spelled as joins
+      -- rather than correlated EXISTS because DuckDB executed the
+      -- triple-EXISTS form as per-row probes at sf1 (>40 min vs
+      -- seconds; same rows either way)
       SELECT a.l_partkey AS ia, b.l_partkey AS ib, c.l_partkey AS ic
       FROM items a
       JOIN items b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+      JOIN fp f1 ON f1.pa = a.l_partkey AND f1.pb = b.l_partkey
       JOIN items c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
-      WHERE EXISTS (SELECT 1 FROM fp
-                    WHERE fp.pa = a.l_partkey AND fp.pb = b.l_partkey)
-        AND EXISTS (SELECT 1 FROM fp
-                    WHERE fp.pa = b.l_partkey AND fp.pb = c.l_partkey)
-        AND EXISTS (SELECT 1 FROM fp
-                    WHERE fp.pa = a.l_partkey AND fp.pb = c.l_partkey)
+      JOIN fp f2 ON f2.pa = b.l_partkey AND f2.pb = c.l_partkey
+      JOIN fp f3 ON f3.pa = a.l_partkey AND f3.pb = c.l_partkey
     )
     SELECT ia, ib, ic, support FROM (
       SELECT ia, ib, ic, CAST(COUNT(*) AS BIGINT) AS support,
