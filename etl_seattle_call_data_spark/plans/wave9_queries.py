@@ -29,18 +29,23 @@ from etl_seattle_call_data_spark.sources.registry import load_table
 @register(
     "winsorized_value_stats",
     "Winsorized mean per event type: values clamped to the exact "
-    "[p5, p95] interpolated percentiles (rule 7), then quantized to "
-    "integer micros (round-half-away is engine-identical for positive "
-    "doubles, rule 5 note) and averaged exactly — the robust-mean "
-    "companion to the MAD anomaly screen. Two fact passes (percentile "
-    "agg, clamp+sum) with the 5-row bounds table broadcast between "
-    "them; SUM(micros) < 2^53 through ~1e7 rows/type (docstring "
-    "contract), so the final mean is one exact division.",
+    "[p5, p95] DISCRETE percentiles (order statistics, not "
+    "interpolation — rule 7's caveat: the interpolated form diverges "
+    "1 ulp at scale when the quantile lands between two EQUAL "
+    "neighbors, because DuckDB evaluates a*(1-f)+b*f where Spark "
+    "evaluates a+(b-a)*f; quantile_disc returns an actual data value "
+    "on both engines), then quantized to integer micros (round-half-"
+    "away is engine-identical for positive doubles, rule 5 note) and "
+    "averaged exactly — the robust-mean companion to the MAD anomaly "
+    "screen. Two fact passes (percentile agg, clamp+sum) with the "
+    "5-row bounds table broadcast between them; SUM(micros) < 2^53 "
+    "through ~1e7 rows/type (docstring contract), so the final mean "
+    "is one exact division.",
     """
     WITH bounds AS (
       SELECT event_type,
-             quantile_cont(value, 0.05) AS p5,
-             quantile_cont(value, 0.95) AS p95
+             quantile_disc(value, 0.05) AS p5,
+             quantile_disc(value, 0.95) AS p95
       FROM events GROUP BY event_type
     ),
     clamped AS (
@@ -64,8 +69,8 @@ from etl_seattle_call_data_spark.sources.registry import load_table
 def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("p5"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("p5"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
     )
     clamped = ev.join(F.broadcast(bounds), "event_type").select(
         "event_type",
