@@ -383,38 +383,38 @@ _PR_TOTAL = 1_000_000_000_000  # rank mass in integer micro-units
     "class). Isolated parts (never co-purchased) are out of graph by "
     "definition; the symmetric edge set leaves no dangling nodes.",
     f"""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    prs AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS MATERIALIZED (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY a.l_partkey, b.l_partkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT part_a AS src, part_b AS dst FROM prs
       UNION ALL
       SELECT part_b AS src, part_a AS dst FROM prs
     ),
-    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+    deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
             FROM edges GROUP BY src),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
-    r0 AS (SELECT node, d, CAST({_PR_TOTAL} // n_nodes AS BIGINT) AS r
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS MATERIALIZED (SELECT node, d, CAST({_PR_TOTAL} // n_nodes AS BIGINT) AS r
            FROM deg, nn),
-    s1 AS (SELECT e.dst AS node, SUM(r0.r // r0.d) AS s
+    s1 AS MATERIALIZED (SELECT e.dst AS node, SUM(r0.r // r0.d) AS s
            FROM edges e JOIN r0 ON r0.node = e.src GROUP BY e.dst),
-    r1 AS (SELECT r0.node, r0.d,
+    r1 AS MATERIALIZED (SELECT r0.node, r0.d,
                   CAST((({_PR_TOTAL} * 15) // 100) // nn.n_nodes
                        + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS r
            FROM r0 LEFT JOIN s1 ON s1.node = r0.node CROSS JOIN nn),
-    s2 AS (SELECT e.dst AS node, SUM(r1.r // r1.d) AS s
+    s2 AS MATERIALIZED (SELECT e.dst AS node, SUM(r1.r // r1.d) AS s
            FROM edges e JOIN r1 ON r1.node = e.src GROUP BY e.dst),
-    r2 AS (SELECT r1.node, r1.d,
+    r2 AS MATERIALIZED (SELECT r1.node, r1.d,
                   CAST((({_PR_TOTAL} * 15) // 100) // nn.n_nodes
                        + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS r
            FROM r1 LEFT JOIN s2 ON s2.node = r1.node CROSS JOIN nn),
-    s3 AS (SELECT e.dst AS node, SUM(r2.r // r2.d) AS s
+    s3 AS MATERIALIZED (SELECT e.dst AS node, SUM(r2.r // r2.d) AS s
            FROM edges e JOIN r2 ON r2.node = e.src GROUP BY e.dst),
-    r3 AS (SELECT r2.node, r2.d,
+    r3 AS MATERIALIZED (SELECT r2.node, r2.d,
                   CAST((({_PR_TOTAL} * 15) // 100) // nn.n_nodes
                        + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS r
            FROM r2 LEFT JOIN s3 ON s3.node = r2.node CROSS JOIN nn)

@@ -1298,34 +1298,34 @@ _BF_INF = 9_000_000_000_000_000  # unreachable sentinel, bigint-safe under +w
     "by node count, never edges x rounds. The oracle unrolls the same "
     "3 rounds as CTEs. Top-50 nearest with full tie-break.",
     """
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    prs AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS MATERIALIZED (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
              CAST(COUNT(*) AS BIGINT) AS n_ab
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY a.l_partkey, b.l_partkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT part_a AS src, part_b AS dst, 1000000 // n_ab AS w FROM prs
       UNION ALL
       SELECT part_b AS src, part_a AS dst, 1000000 // n_ab AS w FROM prs
     ),
-    s AS (SELECT MIN(part_a) AS sid FROM prs),
-    d0 AS (SELECT sid AS node, CAST(0 AS BIGINT) AS d FROM s),
-    d1 AS (SELECT node, MIN(d) AS d FROM (
+    s AS MATERIALIZED (SELECT MIN(part_a) AS sid FROM prs),
+    d0 AS MATERIALIZED (SELECT sid AS node, CAST(0 AS BIGINT) AS d FROM s),
+    d1 AS MATERIALIZED (SELECT node, MIN(d) AS d FROM (
              SELECT node, d FROM d0
              UNION ALL
              SELECT e.dst AS node, d0.d + e.w AS d
              FROM edges e JOIN d0 ON d0.node = e.src
            ) GROUP BY node),
-    d2 AS (SELECT node, MIN(d) AS d FROM (
+    d2 AS MATERIALIZED (SELECT node, MIN(d) AS d FROM (
              SELECT node, d FROM d1
              UNION ALL
              SELECT e.dst AS node, d1.d + e.w AS d
              FROM edges e JOIN d1 ON d1.node = e.src
            ) GROUP BY node),
-    d3 AS (SELECT node, MIN(d) AS d FROM (
+    d3 AS MATERIALIZED (SELECT node, MIN(d) AS d FROM (
              SELECT node, d FROM d2
              UNION ALL
              SELECT e.dst AS node, d2.d + e.w AS d
@@ -1491,8 +1491,9 @@ def q_frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(decile AS INTEGER) AS decile, n_customers, rev_cents,
            CAST(SUM(rev_cents) OVER (ORDER BY decile) AS BIGINT)
              AS cum_rev_cents,
-           CAST(SUM(rev_cents) OVER (ORDER BY decile) * 1000000
-                // SUM(rev_cents) OVER () AS BIGINT) AS cum_share_fp
+           CAST(CAST(SUM(rev_cents) OVER (ORDER BY decile) AS HUGEINT)
+                * 1000000 // SUM(rev_cents) OVER () AS BIGINT)
+             AS cum_share_fp
     FROM g
     ORDER BY decile
     """,
@@ -1526,9 +1527,12 @@ def q_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "rev_cents",
         F.sum("rev_cents").over(wcum).cast("bigint").alias("cum_rev_cents"),
+        # cum_cents * 1e6 passes 2^63 at sf1 (total ~2e13 cents) — the
+        # scale product rides in DECIMAL(38,0)/HUGEINT, quotient <= 1e6
         F.expr(
-            "CAST(SUM(rev_cents) OVER (ORDER BY decile"
-            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000"
+            "CAST(CAST(SUM(rev_cents) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS DECIMAL(38,0)) * 1000000"
             " DIV SUM(rev_cents) OVER () AS BIGINT)"
         ).alias("cum_share_fp"),
     ).orderBy("decile")
@@ -2606,30 +2610,30 @@ def q_attribution_linear_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unrolls the rounds as CTEs. Output: surviving core size, edge "
     "count, and min degree (≥3 iff converged within 3 rounds).",
     """
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    prs AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS MATERIALIZED (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY a.l_partkey, b.l_partkey
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT part_a AS src, part_b AS dst FROM prs
       UNION ALL SELECT part_b, part_a FROM prs
     ),
-    d0 AS (SELECT src AS node, COUNT(*) AS d FROM e0 GROUP BY src),
-    s1 AS (SELECT node FROM d0 WHERE d >= 3),
-    e1 AS (SELECT src, dst FROM e0
+    d0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM e0 GROUP BY src),
+    s1 AS MATERIALIZED (SELECT node FROM d0 WHERE d >= 3),
+    e1 AS MATERIALIZED (SELECT src, dst FROM e0
            WHERE src IN (SELECT node FROM s1) AND dst IN (SELECT node FROM s1)),
-    d1 AS (SELECT src AS node, COUNT(*) AS d FROM e1 GROUP BY src),
-    s2 AS (SELECT node FROM d1 WHERE d >= 3),
-    e2 AS (SELECT src, dst FROM e1
+    d1 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM e1 GROUP BY src),
+    s2 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= 3),
+    e2 AS MATERIALIZED (SELECT src, dst FROM e1
            WHERE src IN (SELECT node FROM s2) AND dst IN (SELECT node FROM s2)),
-    d2 AS (SELECT src AS node, COUNT(*) AS d FROM e2 GROUP BY src),
-    s3 AS (SELECT node FROM d2 WHERE d >= 3),
-    e3 AS (SELECT src, dst FROM e2
+    d2 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM e2 GROUP BY src),
+    s3 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= 3),
+    e3 AS MATERIALIZED (SELECT src, dst FROM e2
            WHERE src IN (SELECT node FROM s3) AND dst IN (SELECT node FROM s3)),
-    d3 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e3 GROUP BY src)
+    d3 AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e3 GROUP BY src)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
            CAST(COALESCE(SUM(d), 0) // 2 AS BIGINT) AS n_core_edges,
            CAST(COALESCE(MIN(d), 0) AS BIGINT) AS min_core_degree

@@ -333,9 +333,11 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket < 50, the engine-portable seedless sampler) carves a "
     "calibration set; the point model is the per-event-type calibration "
     "mean (decimal sum, one division); the conformal radius q_hat is "
-    "the exact 0.9 interpolated percentile of absolute calibration "
-    "residuals (rule 7); coverage = fraction of TEST rows whose "
-    "absolute residual <= q_hat. Per-type stats are one grouped agg "
+    "the 0.9 DISCRETE percentile (order statistic) of absolute "
+    "calibration residuals — the finite-sample-correct conformal "
+    "quantile, and immune to rule 7's 1-ulp interpolation caveat that "
+    "flips boundary rows at scale; coverage = fraction of TEST rows "
+    "whose absolute residual <= q_hat. Per-type stats are one grouped agg "
     "each; the 5-row model table broadcasts onto the test scan — two "
     "fact passes total, no global sort.",
     """
@@ -354,7 +356,7 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     qhat AS (
       SELECT s.event_type,
-             quantile_cont(abs(s.value - m.mu), 0.9) AS q_hat
+             quantile_disc(abs(s.value - m.mu), 0.9) AS q_hat
       FROM split s JOIN model m ON m.event_type = s.event_type
       WHERE s.is_cal
       GROUP BY s.event_type
@@ -392,7 +394,11 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     qhat = (
         cal.join(F.broadcast(model), "event_type")
         .groupBy("event_type")
-        .agg(F.expr("percentile(abs(value - mu), 0.9)").alias("q_hat"))
+        .agg(
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY abs(value - mu))"
+            ).alias("q_hat")
+        )
     )
     test = split.filter(~F.col("is_cal"))
     covered = F.sum(
@@ -441,7 +447,8 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     "deterministic tiebreak.",
     """
     WITH q AS (
-      SELECT label, d, CAST(round(x * 1000) AS BIGINT) AS qx
+      SELECT label, d,
+             CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
       FROM (SELECT label, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) AS d
             FROM embeddings)
@@ -481,7 +488,9 @@ def q_embedding_mean_shift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("d0") + 1).alias("d"),
-        F.round(F.col("x") * 1000).cast("bigint").alias("qx"),
+        # cast float->double BEFORE scaling (similarity.quantize's rule:
+        # float32 multiply rounds differently than DuckDB's promotion)
+        F.round(F.col("x").cast("double") * 1000).cast("bigint").alias("qx"),
     )
     g = q.groupBy("label", "d").agg(
         F.sum("qx").cast("bigint").alias("s"),

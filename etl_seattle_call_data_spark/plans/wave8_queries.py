@@ -553,7 +553,8 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "centroid table broadcasts. Output: per-true-label accuracy.",
     """
     WITH q AS (
-      SELECT vec_id, label, d, CAST(round(x * 1000) AS BIGINT) AS qx
+      SELECT vec_id, label, d,
+             CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
       FROM (SELECT vec_id, label, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) AS d
             FROM embeddings)
@@ -592,7 +593,8 @@ def q_nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         (F.col("d0") + 1).alias("d"),
-        F.round(F.col("x") * 1000).cast("bigint").alias("qx"),
+        # float->double before scaling (similarity.quantize's rule)
+        F.round(F.col("x").cast("double") * 1000).cast("bigint").alias("qx"),
     )
     cent = q.groupBy(F.col("label").alias("clabel"), "d").agg(
         F.expr("CAST(SUM(qx) * 1000 DIV COUNT(*) AS BIGINT)").alias("cq")
