@@ -354,3 +354,263 @@ def q_did_revenue_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (mean("s_ca", "n_ca") - mean("s_cp", "n_cp"))
         ).alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split (cluster-aware)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "leakage_safe_split",
+    "Cluster-aware train/val/test split: documents are assigned to "
+    "splits by hashing their exact-dup CLUSTER fingerprint (canonical-"
+    "text md5), not their doc id — so every copy of the same content "
+    "lands in the same split and the eval set cannot leak into "
+    "training via duplicates (the contamination mode Lee et al. 2022 "
+    "measure). 80/10/10 by hash bucket. The leaked_clusters column is "
+    "computed honestly (clusters spanning >1 split), not assumed: it "
+    "must be 0, and the oracle hash-checks that claim. Scale: one "
+    "narrow map for fingerprint+split, one groupBy per aggregate — "
+    "leakage audit is a fingerprint-keyed two-phase count-distinct, "
+    "linear at corpus size.",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, fingerprint,
+             CASE
+               WHEN ('0x' || substr(md5(fingerprint), 1, 15))::BIGINT % 10 < 8
+                 THEN 'train'
+               WHEN ('0x' || substr(md5(fingerprint), 1, 15))::BIGINT % 10 = 8
+                 THEN 'val'
+               ELSE 'test'
+             END AS split_name
+      FROM d
+    ),
+    leak AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS leaked_clusters
+      FROM (SELECT fingerprint, COUNT(DISTINCT split_name) AS n_splits
+            FROM s GROUP BY fingerprint)
+    )
+    SELECT split_name,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_clusters,
+           leaked_clusters
+    FROM s CROSS JOIN leak
+    GROUP BY split_name, leaked_clusters
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators.text import canonical_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.md5(canonical_text(F.col("text"))).alias("fingerprint")
+    )
+    bucket = _hash_mod(F.col("fingerprint"), 10)
+    s = d.select(
+        "doc_id",
+        "fingerprint",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias(
+            "split_name"
+        ),
+    )
+    leak = (
+        s.groupBy("fingerprint")
+        .agg(F.countDistinct("split_name").alias("n_splits"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("leaked_clusters")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(leak))
+        .groupBy("split_name", "leaked_clusters")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("fingerprint").cast("bigint").alias("n_clusters"),
+        )
+        .select("split_name", "n_docs", "n_clusters", "leaked_clusters")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-weighted effective dataset size per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_weighted_tokens",
+    "Dedup-aware mixture accounting: every document is down-weighted "
+    "by 1/size of its exact-dup cluster (weight in ppm via truncating "
+    "DIV — engine-identical), so a source whose volume is mostly "
+    "copies contributes its EFFECTIVE token mass, not its raw mass — "
+    "the number a training-mixture designer actually needs. A cluster "
+    "spanning several sources splits its unit weight across them "
+    "naturally (each copy carries 1/size). Per-row multiply-then-"
+    "divide (tokens*1e6 DIV size, bounded: tokens < 2^20, so the "
+    "product < 2^40) keeps truncation loss per-document, not "
+    "per-source. One window count over the fingerprint partition + "
+    "one source aggregate; both keys are hash-shuffled once.",
+    """
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents
+    ),
+    sized AS (
+      SELECT source, n_tok,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS csize
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(1000000 // csize) AS BIGINT) AS eff_docs_ppm,
+           CAST(SUM((n_tok * 1000000) // csize) AS BIGINT) AS eff_tokens_ppm
+    FROM sized
+    GROUP BY source
+    """,
+)
+def q_dedup_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators.text import canonical_text, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        F.md5(canonical_text(F.col("text"))).alias("fingerprint"),
+    )
+    sized = d.select(
+        "source",
+        "n_tok",
+        F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).alias("csize"),
+    )
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr("1000000 DIV csize")).cast("bigint").alias("eff_docs_ppm"),
+        F.sum(F.expr("(n_tok * 1000000) DIV csize")).cast("bigint").alias("eff_tokens_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for training pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "negative_sampling_pairs",
+    "Deterministic negative sampling for (customer, brand) training "
+    "pairs: positives are the distinct purchased brands per customer; "
+    "for each purchasing customer, 3 candidate brands are drawn by "
+    "portable hash of (custkey, draw-index) modulo the brand count, "
+    "deduplicated, and anti-joined against the positives — the "
+    "contrastive-learning negative generator (word2vec/retrieval "
+    "two-tower style) with no RNG: reruns and engines agree exactly. "
+    "Scale: candidate fan-out is a constant 3x customers; the "
+    "brand-index join is a broadcast of a bounded dim; the anti-join "
+    "shuffles on (custkey, brand) — never a cross join. Output is the "
+    "bounded per-brand pos/neg census.",
+    """
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    brands AS (
+      SELECT p_brand AS brand,
+             ROW_NUMBER() OVER (ORDER BY p_brand) - 1 AS idx
+      FROM (SELECT DISTINCT p_brand FROM part)
+    ),
+    nb AS (SELECT COUNT(*) AS n_brands FROM brands),
+    custs AS (SELECT DISTINCT custkey FROM pos),
+    cand AS (
+      SELECT DISTINCT c.custkey, b.brand
+      FROM custs c
+      CROSS JOIN nb
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) draws
+      JOIN brands b
+        ON b.idx = ('0x' || substr(md5(CAST(c.custkey AS VARCHAR) || '#'
+                                       || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                   % nb.n_brands
+    ),
+    neg AS (
+      SELECT c.custkey, c.brand FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.custkey = c.custkey AND p.brand = c.brand)
+    )
+    SELECT b.brand,
+           CAST(COALESCE(pc.n_pos, 0) AS BIGINT) AS n_pos,
+           CAST(COALESCE(nc.n_neg, 0) AS BIGINT) AS n_neg
+    FROM brands b
+    LEFT JOIN (SELECT brand, COUNT(*) AS n_pos FROM pos GROUP BY brand) pc
+      ON pc.brand = b.brand
+    LEFT JOIN (SELECT brand, COUNT(*) AS n_neg FROM neg GROUP BY brand) nc
+      ON nc.brand = b.brand
+    """,
+)
+def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    brands = (
+        p.select("p_brand")
+        .distinct()
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.row_number().over(Window.orderBy("p_brand")) - 1).alias("idx"),
+        )
+    )
+    nb = brands.agg(F.count(F.lit(1)).alias("n_brands"))
+    custs = pos.select("custkey").distinct()
+    # portable hash mod data-dependent brand count (column modulus)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("custkey").cast("string"), F.lit("#"), F.col("j").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        custs.crossJoin(F.broadcast(nb))
+        .select("custkey", "n_brands", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"))
+        .select("custkey", (h % F.col("n_brands")).alias("cand_idx"))
+        .join(F.broadcast(brands), F.col("cand_idx") == F.col("idx"))
+        .select("custkey", "brand")
+        .distinct()
+    )
+    neg = cand.join(pos, ["custkey", "brand"], "left_anti")
+    pc = pos.groupBy("brand").agg(F.count(F.lit(1)).alias("n_pos"))
+    nc = neg.groupBy("brand").agg(F.count(F.lit(1)).alias("n_neg"))
+    return (
+        brands.select("brand")
+        .join(pc, "brand", "left")
+        .join(nc, "brand", "left")
+        .select(
+            "brand",
+            F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+            F.coalesce(F.col("n_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
+        )
+    )
