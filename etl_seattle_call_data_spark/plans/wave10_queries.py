@@ -614,3 +614,233 @@ def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Search ranking metrics: NDCG@5 + MRR for the ANN retrieval path
+# ---------------------------------------------------------------------------
+
+# Integer DCG discounts: trunc(1e6 / log2(i+1)) for positions 1..5 —
+# constants of the METRIC definition (identical literals in both
+# dialects), so no libm log enters either engine at query time.
+_DISC_CASE = (
+    "CASE {r} WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000 "
+    "WHEN 4 THEN 430676 ELSE 386852 END"
+)
+
+from etl_seattle_call_data_spark.plans.docs_queries import (  # noqa: E402
+    _DUCK_COS,
+    _DUCK_Q,
+    _lsh_bucket_sql,
+)
+
+
+@register(
+    "search_ranking_metrics",
+    "Graded ranking quality of the sign-LSH ANN path: per query, "
+    "NDCG@5 and reciprocal rank of the LSH top-5 against the exact "
+    "brute-force top-5 as graded ground truth (relevance 5..1 by true "
+    "rank; unretrieved truth = relevance 0). DCG uses integer "
+    "discounts trunc(1e6/log2(i+1)) — metric constants, not runtime "
+    "logs — so DCG/IDCG are exact BIGINTs and NDCG is one truncating "
+    "DIV in ppm; MRR is 1e6 DIV first-relevant-rank. Alongside "
+    "recall@5 evals this completes the IR measurement story: recall "
+    "counts hits, NDCG weighs WHERE they landed. Scale: both arms are "
+    "the existing top-k operators (broadcast query side, bucket "
+    "equi-join); the metric join touches 5 rows per query.",
+    f"""
+    WITH w AS ({{duck_q}}),
+    truth AS (
+      SELECT query_id, neighbor_id, rank AS truth_rank FROM (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {{duck_cos}} DESC, a.vec_id) AS rank
+        FROM w a JOIN w b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ),
+    bkt AS (SELECT vec_id, qv, n2, {{lsh_bucket}} AS bucket FROM w),
+    retr AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {{duck_cos}} DESC, a.vec_id) AS rank
+        FROM bkt a JOIN bkt b
+          ON a.bucket = b.bucket AND b.vec_id < 10 AND a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ),
+    scored AS (
+      SELECT r.query_id, r.rank,
+             COALESCE(6 - t.truth_rank, 0) AS rel
+      FROM retr r LEFT JOIN truth t
+        ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(rel * ({_DISC_CASE.format(r='rank')})) AS BIGINT)
+               AS dcg_micro,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_found,
+             MIN(CASE WHEN rel > 0 THEN rank END) AS first_hit
+      FROM scored GROUP BY query_id
+    ),
+    idcg AS (
+      SELECT query_id,
+             CAST(SUM((6 - truth_rank) * ({_DISC_CASE.format(r='truth_rank')}))
+                  AS BIGINT) AS idcg_micro
+      FROM truth GROUP BY query_id
+    )
+    SELECT i.query_id,
+           CAST(COALESCE(d.n_rel_found, 0) AS BIGINT) AS n_rel_found,
+           CAST(COALESCE(d.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           i.idcg_micro,
+           CAST((COALESCE(d.dcg_micro, 0) * 1000000) // i.idcg_micro AS BIGINT)
+             AS ndcg_ppm,
+           CAST(CASE WHEN d.first_hit IS NULL THEN 0
+                     ELSE 1000000 // d.first_hit END AS BIGINT) AS rr_ppm
+    FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+    """.format(duck_q=_DUCK_Q, duck_cos=_DUCK_COS, lsh_bucket=_lsh_bucket_sql()),
+)
+def q_search_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(emb, qset, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").alias("truth_rank")
+    )
+    retr = similarity.lsh_topk(emb, qset, k=5, num_planes=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    scored = retr.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "rank",
+        F.coalesce(F.lit(6) - F.col("truth_rank"), F.lit(0)).alias("rel"),
+    )
+    disc_rank = F.expr(_DISC_CASE.format(r="rank"))
+    dcg = scored.groupBy("query_id").agg(
+        F.sum(F.col("rel") * disc_rank).cast("bigint").alias("dcg_micro"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("bigint").alias("n_rel_found"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_hit"),
+    )
+    idcg = truth.groupBy("query_id").agg(
+        F.sum((F.lit(6) - F.col("truth_rank")) * F.expr(_DISC_CASE.format(r="truth_rank")))
+        .cast("bigint")
+        .alias("idcg_micro")
+    )
+    return idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_rel_found"), F.lit(0)).cast("bigint").alias("n_rel_found"),
+        F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("bigint").alias("dcg_micro"),
+        "idcg_micro",
+        F.expr("CAST((COALESCE(dcg_micro, 0) * 1000000) DIV idcg_micro AS BIGINT)").alias(
+            "ndcg_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN first_hit IS NULL THEN 0 ELSE 1000000 DIV first_hit END AS BIGINT)"
+        ).alias("rr_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance proof
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_mv_join_delta",
+    "Incremental maintenance of a JOIN view, verified in-query: the "
+    "view V = revenue per nation over lineitem JOIN orders JOIN "
+    "customer. With the dimension side unchanged and an insert-only "
+    "fact delta (orders on/after 2001-01-01), the IVM algebra says "
+    "V_new = V_old + delta(orders) JOIN customer — the classical "
+    "delta-rule specialization (dA JOIN B when dB is empty). Both the "
+    "full recompute and the incremental form are computed (DECIMAL-"
+    "exact) and compared cell-for-cell BEFORE the final double cast, "
+    "so `matches` is an exact-equality claim the hash gate re-checks, "
+    "not a tolerance. This is the agg-MV companion's join-view "
+    "generalization: at 100 TB the delta arm only scans the delta "
+    "partition (partition-pruned date predicate), never the base "
+    "fact.",
+    """
+    WITH rev AS (
+      SELECT o.o_orderkey, o.o_orderdate, c.c_nationkey AS nationkey,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS r
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    full_v AS (
+      SELECT nationkey, SUM(r) AS rev_full FROM rev GROUP BY nationkey
+    ),
+    old_v AS (
+      SELECT nationkey, SUM(r) AS rev_old FROM rev
+      WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+      GROUP BY nationkey
+    ),
+    delta_v AS (
+      SELECT nationkey, SUM(r) AS rev_delta FROM rev
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      GROUP BY nationkey
+    ),
+    inc AS (
+      SELECT COALESCE(o.nationkey, d.nationkey) AS nationkey,
+             COALESCE(o.rev_old, 0) + COALESCE(d.rev_delta, 0) AS rev_inc
+      FROM old_v o FULL JOIN delta_v d ON d.nationkey = o.nationkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(f.rev_full AS DOUBLE) AS revenue_full,
+           CAST(i.rev_inc AS DOUBLE) AS revenue_incremental,
+           f.rev_full = i.rev_inc AS matches
+    FROM full_v f
+    JOIN inc i ON i.nationkey = f.nationkey
+    JOIN nation n ON n.n_nationkey = f.nationkey
+    """,
+)
+def q_incremental_mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cut = F.lit("2001-01-01 00:00:00").cast("timestamp")
+    r = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_orderdate"), F.col("c_nationkey").alias("nationkey"), r.alias("r")
+        )
+    )
+    full_v = rev.groupBy("nationkey").agg(F.sum("r").alias("rev_full"))
+    old_v = (
+        rev.filter(F.col("o_orderdate") < cut)
+        .groupBy("nationkey")
+        .agg(F.sum("r").alias("rev_old"))
+    )
+    delta_v = (
+        rev.filter(F.col("o_orderdate") >= cut)
+        .groupBy("nationkey")
+        .agg(F.sum("r").alias("rev_delta"))
+    )
+    inc = (
+        old_v.join(delta_v, "nationkey", "full")
+        .select(
+            "nationkey",
+            (
+                F.coalesce(F.col("rev_old"), F.lit(0))
+                + F.coalesce(F.col("rev_delta"), F.lit(0))
+            ).alias("rev_inc"),
+        )
+    )
+    return (
+        full_v.join(inc, "nationkey")
+        .join(F.broadcast(n), F.col("nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("rev_full").cast("double").alias("revenue_full"),
+            F.col("rev_inc").cast("double").alias("revenue_incremental"),
+            (F.col("rev_full") == F.col("rev_inc")).alias("matches"),
+        )
+    )
