@@ -844,3 +844,226 @@ def q_incremental_mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_full") == F.col("rev_inc")).alias("matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 revenue concentration per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pareto_8020_analysis",
+    "Pareto concentration per nation: the minimum number of customers "
+    "whose (descending) revenue prefix covers 80%% of the nation's "
+    "total, plus that prefix's exact share in ppm — the 80/20 readout "
+    "behind key-account planning, computed on exact integer cents with "
+    "the 5*cum >= 4*total crossing test (no float thresholds). The "
+    "running sum uses operators/ranking.two_phase_cumsum_in_groups: "
+    "per-(nation, revenue-bucket) partials roll into prefix offsets "
+    "over the bounded bucket table, so no nation is sorted through a "
+    "single task — the same plan shape at 25 nations x 10^9 customers. "
+    "Totals join back as a broadcast 25-row aggregate.",
+    """
+    WITH cust AS (
+      SELECT n.n_name AS nation, o.o_custkey AS custkey,
+             SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revcents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, o.o_custkey
+    ),
+    cum AS (
+      SELECT nation, custkey, revcents,
+             SUM(revcents) OVER (PARTITION BY nation
+                                 ORDER BY revcents DESC, custkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumcents
+      FROM cust
+    ),
+    tot AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(revcents) AS total_cents
+      FROM cust GROUP BY nation
+    )
+    SELECT t.nation, t.n_customers,
+           CAST(t.total_cents AS DOUBLE) / 100.0 AS total_revenue,
+           CAST(1 + COALESCE(SUM(CASE WHEN 5 * c.cumcents < 4 * t.total_cents
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS k_for_80,
+           CAST((MIN(CASE WHEN 5 * c.cumcents >= 4 * t.total_cents
+                          THEN c.cumcents END) * 1000000) // t.total_cents
+                AS BIGINT) AS topk_share_ppm
+    FROM tot t JOIN cum c ON c.nation = t.nation
+    GROUP BY t.nation, t.n_customers, t.total_cents
+    """,
+)
+def q_pareto_8020_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators.ranking import two_phase_cumsum_in_groups
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("revcents"))
+        .withColumn("negrev", -F.col("revcents"))
+    )
+    cum = two_phase_cumsum_in_groups(
+        cust,
+        group_cols=["nation"],
+        order_by=["negrev", "custkey"],
+        coarse=F.expr("negrev DIV 10000000"),
+        weight=F.col("revcents"),
+        cum_name="cumcents",
+    )
+    tot = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("revcents").alias("total_cents"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "nation")
+        .groupBy("nation", "n_customers", "total_cents")
+        .agg(
+            (
+                F.lit(1)
+                + F.coalesce(
+                    F.sum(
+                        F.when(5 * F.col("cumcents") < 4 * F.col("total_cents"), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("k_for_80"),
+            F.expr(
+                "CAST((MIN(CASE WHEN 5 * cumcents >= 4 * total_cents THEN cumcents END)"
+                " * 1000000) DIV total_cents AS BIGINT)"
+            ).alias("topk_share_ppm"),
+        )
+        .select(
+            "nation",
+            "n_customers",
+            (F.col("total_cents").cast("double") / 100.0).alias("total_revenue"),
+            "k_for_80",
+            "topk_share_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two daily event series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lagged_cross_correlation",
+    "Lead/lag discovery between two daily series: Pearson correlation "
+    "of daily view counts vs purchase counts at every lag in [-3, +3] "
+    "days, with the maximizing lag flagged — the demand-precedes-"
+    "conversion diagnostic. Day ids are integer epoch-day (unix_micros "
+    "DIV 86.4e9, rule 11 form), the 7 lags come from a bounded "
+    "explode joined on shifted day, and each lag's moments are exact "
+    "BIGINT sums (daily counts < 2^24, 30-day windows: every "
+    "n*Sxy - Sx*Sy term is < 2^53, so the doubles entering the one "
+    "corr expression tree are exact casts). sqrt is IEEE-exact (rule "
+    "8); zero-variance lags emit 0. Fan-out: series length x 7 rows "
+    "total — independent of event volume after the daily rollup.",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS dnum,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+    paired AS (
+      SELECT l.lag, a.v AS x, b.p AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.dnum = a.dnum + l.lag
+    ),
+    mom AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM paired GROUP BY lag
+    ),
+    corr AS (
+      SELECT lag, n_days,
+             CASE WHEN n_days * sxx - sx * sx = 0
+                    OR n_days * syy - sy * sy = 0 THEN 0.0
+                  ELSE CAST(n_days * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_days * syy - sy * sy AS DOUBLE))
+             END AS corr_xy
+      FROM mom
+    )
+    SELECT lag, n_days, corr_xy,
+           ROW_NUMBER() OVER (ORDER BY corr_xy DESC, lag) = 1 AS is_best_lag
+    FROM corr
+    """,
+)
+def q_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("dnum"), "event_type"
+        )
+        .groupBy("dnum")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("v"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("p"),
+        )
+    )
+    lags = spark.range(7).select((F.col("id") - 3).cast("int").alias("lag"))
+    a = daily.select(F.col("dnum").alias("da"), F.col("v").alias("x"))
+    b = daily.select(F.col("dnum").alias("db"), F.col("p").alias("y"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    mom = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    corr = mom.select(
+        "lag",
+        "n_days",
+        F.when(
+            (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx") == 0)
+            | (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy") == 0),
+            F.lit(0.0),
+        )
+        .otherwise(
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            )
+        )
+        .alias("corr_xy"),
+    )
+    return corr.select(
+        "lag",
+        "n_days",
+        "corr_xy",
+        (
+            F.row_number().over(Window.orderBy(F.desc("corr_xy"), F.asc("lag"))) == 1
+        ).alias("is_best_lag"),
+    )
