@@ -1067,3 +1067,315 @@ def q_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("corr_xy"), F.asc("lag"))) == 1
         ).alias("is_best_lag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_USHAPE_CREDIT = (
+    "CASE WHEN n_touch = 1 THEN 1000000 "
+    "WHEN n_touch = 2 THEN 500000 "
+    "WHEN touch_rank = 1 THEN 400000 + 200000 % (n_touch - 2) "
+    "WHEN touch_rank = n_touch THEN 400000 "
+    "ELSE 200000 {div} (n_touch - 2) END"
+)
+
+
+@register(
+    "attribution_position_based",
+    "Position-based (U-shaped 40/20/40) multi-touch attribution, "
+    "completing the linear + time-decay triad: first and last touch "
+    "of each purchase's session path get 40%% each, the middle splits "
+    "the remaining 20%% by truncating DIV with the remainder assigned "
+    "to the first touch — so every purchase's credit sums to EXACTLY "
+    "1e6 ppm (single-touch 100%%, two-touch 50/50). Attributed cents "
+    "are cents*share_ppm DIV 1e6 per row (bounded: cents < 2^17, "
+    "product < 2^37). Same sessionization and single (user, session) "
+    "equi-join as the linear variant; the only new work is the "
+    "constant-time credit CASE. Oracle uses two CTE levels for the "
+    "session marks (rule 32: DuckDB rejects nested windows).",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS tu,
+             CAST(round(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    marks AS (
+      SELECT *,
+             CASE WHEN tu - COALESCE(lag(tu) OVER (
+                    PARTITION BY user_id ORDER BY tu, event_id), tu)
+                  > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    s AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM marks
+    ),
+    touches AS (
+      SELECT user_id, sess, event_id, event_type, tu
+      FROM s WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+      SELECT user_id, sess, event_id AS p_id, tu AS p_tu, cents
+      FROM s WHERE event_type = 'purchase' AND cents > 0
+    ),
+    credit AS (
+      SELECT t.event_type, p.cents,
+             CAST(COUNT(*) OVER (PARTITION BY p.user_id, p.sess, p.p_id)
+                  AS BIGINT) AS n_touch,
+             ROW_NUMBER() OVER (PARTITION BY p.user_id, p.sess, p.p_id
+                                ORDER BY t.tu, t.event_id) AS touch_rank
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id AND t.sess = p.sess AND t.tu < p.p_tu
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM({_USHAPE_CREDIT.format(div='//')}) AS BIGINT)
+             AS credit_ppm_total,
+           CAST(SUM((cents * ({_USHAPE_CREDIT.format(div='//')})) // 1000000)
+                AS BIGINT) AS attributed_cents
+    FROM credit
+    GROUP BY event_type
+    """,
+)
+def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tu"),
+        F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast("bigint").alias("cents"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    gap = F.when(
+        F.col("tu") - F.coalesce(F.lag("tu").over(wu), F.col("tu")) > 1_800_000_000, 1
+    ).otherwise(0)
+    s = e.withColumn(
+        "sess", F.sum(gap).over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    touches = s.filter(F.col("event_type") != "purchase").select(
+        "user_id", "sess", "event_id", "event_type", "tu"
+    )
+    purchases = s.filter((F.col("event_type") == "purchase") & (F.col("cents") > 0)).select(
+        "user_id", "sess", F.col("event_id").alias("p_id"), F.col("tu").alias("p_tu"), "cents"
+    )
+    joined = purchases.join(touches, ["user_id", "sess"]).filter(
+        F.col("tu") < F.col("p_tu")
+    )
+    wp = Window.partitionBy("user_id", "sess", "p_id")
+    credit = joined.select(
+        "event_type",
+        "cents",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_touch"),
+        F.row_number().over(wp.orderBy("tu", "event_id")).alias("touch_rank"),
+    )
+    share = F.expr(_USHAPE_CREDIT.format(div="DIV"))
+    return credit.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum(share).cast("bigint").alias("credit_ppm_total"),
+        F.sum(F.expr(f"(cents * ({_USHAPE_CREDIT.format(div='DIV')})) DIV 1000000"))
+        .cast("bigint")
+        .alias("attributed_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery profile
+# ---------------------------------------------------------------------------
+
+# (table, label, per-engine key-string expressions). Timestamps enter the
+# key via epoch micros — VARCHAR casts of temporals differ per engine.
+_KEY_COMBOS: list[tuple[str, str, str, str]] = [
+    (
+        "lineitem",
+        "l_orderkey",
+        "CAST(l_orderkey AS STRING)",
+        "CAST(l_orderkey AS VARCHAR)",
+    ),
+    (
+        "lineitem",
+        "l_orderkey+l_linenumber",
+        "CAST(l_orderkey AS STRING) || '#' || CAST(l_linenumber AS STRING)",
+        "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)",
+    ),
+    (
+        "lineitem",
+        "l_partkey+l_suppkey",
+        "CAST(l_partkey AS STRING) || '#' || CAST(l_suppkey AS STRING)",
+        "CAST(l_partkey AS VARCHAR) || '#' || CAST(l_suppkey AS VARCHAR)",
+    ),
+    (
+        "orders",
+        "o_orderkey",
+        "CAST(o_orderkey AS STRING)",
+        "CAST(o_orderkey AS VARCHAR)",
+    ),
+    (
+        "orders",
+        "o_custkey+o_orderdate",
+        "CAST(o_custkey AS STRING) || '#' || CAST(unix_micros(o_orderdate) AS STRING)",
+        "CAST(o_custkey AS VARCHAR) || '#' || CAST(epoch_us(o_orderdate) AS VARCHAR)",
+    ),
+    (
+        "events",
+        "user_id+ts",
+        "CAST(user_id AS STRING) || '#' || CAST(unix_micros(ts) AS STRING)",
+        "CAST(user_id AS VARCHAR) || '#' || CAST(epoch_us(ts) AS VARCHAR)",
+    ),
+]
+
+
+@register(
+    "candidate_key_profile",
+    "Candidate-key discovery over a fixed combo catalog: for each "
+    "(table, column-set) pair, row count vs distinct-key count, the "
+    "uniqueness ratio in ppm, and the is-key verdict — the profiling "
+    "pass schema inference and MERGE-key validation both start from. "
+    "Key tuples become '#'-joined strings (temporals via epoch "
+    "micros, since VARCHAR casts of timestamps differ per engine); "
+    "each combo is one two-phase distinct-count aggregate (partial "
+    "map-side distinct, one shuffle on the key hash), unioned into a "
+    "6-row report. Scale: combos are evaluated independently — at "
+    "100 TB each is exactly the cost of its own count-distinct, and "
+    "the catalog is explicit, not a combinatorial explosion.",
+    "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{tbl}' AS tbl, '{label}' AS key_cols,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {duck}) AS BIGINT) AS n_distinct,
+           CAST((COUNT(DISTINCT {duck}) * 1000000) // COUNT(*) AS BIGINT)
+             AS uniqueness_ppm,
+           COUNT(DISTINCT {duck}) = COUNT(*) AS is_unique_key
+    FROM {tbl}"""
+        for tbl, label, _, duck in _KEY_COMBOS
+    ),
+)
+def q_candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, label, spark_expr, _ in _KEY_COMBOS:
+        df = load_table(spark, sf_dir, tbl)
+        agg = df.select(F.expr(spark_expr).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct"),
+        )
+        row = agg.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(label).alias("key_cols"),
+            "n_rows",
+            "n_distinct",
+            F.expr("CAST((n_distinct * 1000000) DIV n_rows AS BIGINT)").alias(
+                "uniqueness_ppm"
+            ),
+            (F.col("n_distinct") == F.col("n_rows")).alias("is_unique_key"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Session entry / exit / bounce census per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_bounce_entry_exit",
+    "Session entry/exit census: for each event type, how many of the "
+    "30-min-gap sessions it opens, how many it closes, and how many "
+    "single-event sessions (bounces) it IS — plus its session-entry "
+    "share in ppm — the landing/exit-page analysis of web analytics "
+    "over the shared sessionization definition. First/last flags are "
+    "two row_numbers over the materialized (user, session) partition "
+    "(rule 32 two-level CTE on the oracle side); the global session "
+    "count joins in as a broadcast scalar. One window pass + one "
+    "5-row aggregate.",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+      FROM events
+    ),
+    marks AS (
+      SELECT *,
+             CASE WHEN tu - COALESCE(lag(tu) OVER (
+                    PARTITION BY user_id ORDER BY tu, event_id), tu)
+                  > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    s AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM marks
+    ),
+    flagged AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                                ORDER BY tu, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                                ORDER BY tu DESC, event_id DESC) AS rn_d,
+             COUNT(*) OVER (PARTITION BY user_id, sess) AS slen
+      FROM s
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS total_sessions
+      FROM flagged
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+           CAST(SUM(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exits,
+           CAST(SUM(CASE WHEN rn_a = 1 AND slen = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           CAST((SUM(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) * 1000000)
+                // total_sessions AS BIGINT) AS entry_share_ppm
+    FROM flagged CROSS JOIN tot
+    GROUP BY event_type, total_sessions
+    """,
+)
+def q_session_bounce_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("tu"))
+    wu = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    gap = F.when(
+        F.col("tu") - F.coalesce(F.lag("tu").over(wu), F.col("tu")) > 1_800_000_000, 1
+    ).otherwise(0)
+    s = e.withColumn(
+        "sess", F.sum(gap).over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sess")
+    flagged = s.select(
+        "event_type",
+        F.row_number().over(ws.orderBy("tu", "event_id")).alias("rn_a"),
+        F.row_number().over(ws.orderBy(F.desc("tu"), F.desc("event_id"))).alias("rn_d"),
+        F.count(F.lit(1)).over(ws).alias("slen"),
+    )
+    tot = flagged.agg(
+        F.sum(F.when(F.col("rn_a") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("total_sessions")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(tot))
+        .groupBy("event_type", "total_sessions")
+        .agg(
+            F.sum(F.when(F.col("rn_a") == 1, 1).otherwise(0)).cast("bigint").alias("n_entries"),
+            F.sum(F.when(F.col("rn_d") == 1, 1).otherwise(0)).cast("bigint").alias("n_exits"),
+            F.sum(F.when((F.col("rn_a") == 1) & (F.col("slen") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+            F.expr(
+                "CAST((SUM(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) * 1000000)"
+                " DIV FIRST(total_sessions) AS BIGINT)"
+            ).alias("entry_share_ppm"),
+        )
+        .select(
+            "event_type", "n_entries", "n_exits", "n_bounces", "entry_share_ppm"
+        )
+    )
