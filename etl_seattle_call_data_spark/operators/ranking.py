@@ -236,3 +236,54 @@ def two_phase_cumsum_in_groups(
         .withColumn(cum_name, (F.col("__offset") + F.col("__lcum")).cast("long"))
         .drop("__cb", "__lcum", "__offset", "__w")
     )
+
+
+def two_phase_running_max(
+    df: DataFrame,
+    order_by: list[str],
+    coarse: Column,
+    value: Column,
+    out_name: str = "runmax",
+    exclusive: bool = False,
+) -> DataFrame:
+    """Exact running MAX of ``value`` in global ``order_by`` order
+    without a single-partition window — the max-monoid sibling of
+    ``two_phase_rank`` (streaming watermarks, high-water marks, and
+    record-to-date series all reduce to this).
+
+    Phase 1 computes per-bucket maxima (one tiny aggregate, bounded by
+    the coarse-bucket count, not rows); the strictly-before-bucket
+    prefix maxima are folded on the driver (the same legitimate bounded
+    collect as ``two_phase_rank``'s offsets) and broadcast back. Phase 2
+    windows only WITHIN each bucket. ``exclusive=True`` yields the
+    strictly-before running max (NULL for the globally first row) —
+    the watermark shape; otherwise the inclusive high-water mark.
+    ``coarse`` must be order-aligned with the leading ``order_by``
+    column and non-null; ``value`` must be non-null and long-castable.
+    """
+    spark = df.sparkSession
+    bucketed = df.withColumn("__cb", _guarded_bucket(coarse)).withColumn(
+        "__v", value.cast("long")
+    )
+    maxima = sorted(
+        (r["__cb"], r["m"])
+        for r in bucketed.groupBy("__cb").agg(F.max("__v").alias("m")).collect()
+    )
+    prefix: list[tuple[int, int | None]] = []
+    running: int | None = None
+    for cb, m in maxima:
+        prefix.append((cb, running))
+        running = m if running is None else max(running, m)
+    off_df = spark.createDataFrame(prefix, "__cb long, __premax long")
+    frame_end = -1 if exclusive else 0
+    local = F.max("__v").over(
+        Window.partitionBy("__cb")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    return (
+        bucketed.withColumn("__lmax", local)
+        .join(F.broadcast(off_df), "__cb")
+        .withColumn(out_name, F.greatest("__lmax", "__premax"))
+        .drop("__cb", "__lmax", "__premax", "__v")
+    )

@@ -42,9 +42,10 @@ def _cents(col: Column) -> Column:
     ".5, and no group funnels through one task: the cumsum windows "
     "over the bounded per-bucket count table (price-range/1000$ "
     "buckets, qty 1..50), not over rows. Moment sums are exact "
-    "DECIMAL(38,0) (rank products reach ~1e21 at sf1 — past "
-    "BIGINT), cast to double once, and rho is one shared IEEE "
-    "expression tree (rules 1-2, 8).",
+    "DECIMAL(38,0)/HUGEINT (rank products reach ~1e21 at sf1 — past "
+    "BIGINT) and reach DOUBLE via the quotient+remainder split "
+    "(plain >2^63 decimal->double casts round differently per "
+    "engine); rho is one shared IEEE expression tree (rules 1-2, 8).",
     """
     WITH li AS (
       SELECT l_returnflag AS flag,
@@ -74,15 +75,27 @@ def _cents(col: Column) -> Column:
       JOIN rq ON rq.flag = li.flag AND rq.qty = li.qty
       JOIN rc ON rc.flag = li.flag AND rc.cents = li.cents
     ),
-    s AS (
+    si AS (
       SELECT flag,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+             SUM(rx2) AS sx_i, SUM(ry2) AS sy_i,
+             SUM(rx2 * rx2) AS sxx_i, SUM(ry2 * ry2) AS syy_i,
+             SUM(rx2 * ry2) AS sxy_i
       FROM j GROUP BY flag
+    ),
+    s AS (
+      SELECT flag, n_rows,
+             (CAST(sx_i // 67108864 AS DOUBLE) * 67108864.0
+              + CAST(sx_i % 67108864 AS DOUBLE)) AS sx,
+             (CAST(sy_i // 67108864 AS DOUBLE) * 67108864.0
+              + CAST(sy_i % 67108864 AS DOUBLE)) AS sy,
+             (CAST(sxx_i // 67108864 AS DOUBLE) * 67108864.0
+              + CAST(sxx_i % 67108864 AS DOUBLE)) AS sxx,
+             (CAST(syy_i // 67108864 AS DOUBLE) * 67108864.0
+              + CAST(syy_i % 67108864 AS DOUBLE)) AS syy,
+             (CAST(sxy_i // 67108864 AS DOUBLE) * 67108864.0
+              + CAST(sxy_i % 67108864 AS DOUBLE)) AS sxy
+      FROM si
     )
     SELECT flag, n_rows,
            (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
@@ -117,19 +130,26 @@ def q_spearman_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     rq = midrank2("qty", F.col("qty"), "rx2")
     rc = midrank2("cents", F.expr("cents DIV 100000"), "ry2")
     j = li.join(rq, ["flag", "qty"]).join(rc, ["flag", "cents"])
-    s = j.groupBy("flag").agg(
+    si = j.groupBy("flag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.col("rx2").cast("decimal(38,0)")).cast("double").alias("sx"),
-        F.sum(F.col("ry2").cast("decimal(38,0)")).cast("double").alias("sy"),
-        F.sum((F.col("rx2") * F.col("rx2")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum((F.col("ry2") * F.col("ry2")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("syy"),
-        F.sum((F.col("rx2") * F.col("ry2")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("sxy"),
+        F.sum(F.col("rx2").cast("decimal(38,0)")).alias("sx_i"),
+        F.sum(F.col("ry2").cast("decimal(38,0)")).alias("sy_i"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast("decimal(38,0)")).alias("sxx_i"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast("decimal(38,0)")).alias("syy_i"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast("decimal(38,0)")).alias("sxy_i"),
+    )
+    # quotient+remainder split: exact-integer sums pass 2^63 at sf1,
+    # where plain decimal->double casts round differently per engine
+    s = si.select(
+        "flag",
+        "n_rows",
+        *[
+            F.expr(
+                f"(CAST({c}_i DIV 67108864 AS DOUBLE) * 67108864.0"
+                f" + CAST({c}_i % 67108864 AS DOUBLE))"
+            ).alias(c)
+            for c in ("sx", "sy", "sxx", "syy", "sxy")
+        ],
     )
     return s.select(
         "flag",
