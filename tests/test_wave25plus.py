@@ -71,3 +71,118 @@ def test_rolling_slope_full_windows_only(spark):
     assert len(rows) == truth - 29
     for r in rows:
         assert r["rising"] == (r["slope_per_day"] > 0.0)
+
+
+# --- wave 26 ---------------------------------------------------------------
+
+
+def test_bradley_terry_accounting(spark):
+    rows = _run(spark, "bradley_terry_one_step")
+    assert len(rows) == 25
+    # every duel produces exactly one win: total wins == total games / 2
+    assert sum(r["wins"] for r in rows) * 2 == sum(r["games"] for r in rows)
+    for r in rows:
+        assert 0 <= r["bt_rating_ppm"] <= 2_000_000
+
+
+def test_winnowing_fingerprints_shared(spark):
+    rows = _run(spark, "winnowing_fingerprint_census")
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert 1 <= r["n_sources"] <= r["n_docs"]
+
+
+def test_price_dispersion_ordering_and_bounds(spark):
+    rows = _run(spark, "price_dispersion_by_part")
+    spreads = [r["spread_ppm"] for r in rows]
+    assert spreads == sorted(spreads, reverse=True)
+    for r in rows:
+        assert r["min_cents"] <= r["max_cents"]
+        assert r["n_lines"] >= 5
+
+
+def test_nelson_aalen_monotone(spark):
+    rows = _run(spark, "nelson_aalen_second_order")
+    rows.sort(key=lambda r: r["gap_days"])
+    prev_h, prev_n = -1, None
+    for r in rows:
+        assert r["cum_hazard_ppb"] >= prev_h  # cumulative hazard grows
+        prev_h = r["cum_hazard_ppb"]
+        if prev_n is not None:
+            assert r["n_risk"] <= prev_n  # risk set shrinks
+        prev_n = r["n_risk"]
+        assert r["n_events"] <= r["n_risk"]
+
+
+def test_location_quotients_above_parity(spark):
+    rows = _run(spark, "shift_share_location_quotient")
+    lqs = [r["lq_ppm"] for r in rows]
+    assert lqs == sorted(lqs, reverse=True)
+    # top specializations over-index: LQ > 1e6 means above global share
+    assert lqs[0] >= 1_000_000
+
+
+def test_month_end_loading_shares(spark):
+    rows = _run(spark, "month_end_loading")
+    for r in rows:
+        assert 28 <= r["days_in_month"] <= 31
+        assert 0 <= r["rev_last3"] <= r["rev_total"]
+        assert 0 <= r["last3_ppm"] <= 1_000_000
+
+
+# --- wave 27 ---------------------------------------------------------------
+
+
+def test_sequential_pattern_grid(spark):
+    rows = _run(spark, "sequential_pattern_support")
+    assert len(rows) == 20  # 5 types, ordered pairs, a != b
+    for r in rows:
+        assert 0 <= r["support"] <= r["n_users_both"]
+        assert 0 <= r["support_ppm"] <= 1_000_000
+
+
+def test_power_analysis_monotone_in_mde(spark):
+    rows = _run(spark, "power_analysis_two_proportion")
+    assert len(rows) == 15
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["priority"], []).append(r)
+    for series in by_p.values():
+        series.sort(key=lambda r: r["mde_ppm"])
+        ns = [r["n_per_arm"] for r in series]
+        # bigger detectable effect -> smaller required sample
+        assert ns == sorted(ns, reverse=True)
+        assert all(n >= 1 for n in ns)
+
+
+def test_rbo_within_unit_interval(spark):
+    (r,) = _run(spark, "rank_biased_overlap_topk")
+    assert 0 <= r["n_common"] <= 20
+    assert 0 <= r["rbo_ppb"] <= 1_000_000_000
+    if r["n_common"] == 0:
+        assert r["rbo_ppb"] == 0
+
+
+def test_burstiness_at_least_unity(spark):
+    rows = _run(spark, "term_burstiness_church_gale")
+    for r in rows:
+        # cf >= df always, so burstiness ppm >= 1e6
+        assert r["burstiness_ppm"] >= 1_000_000
+        assert r["cf"] >= r["df"]
+
+
+def test_simpsons_scan_flags_consistent(spark):
+    rows = _run(spark, "simpsons_paradox_scan")
+    assert len(rows) == 25
+    overall = {r["overall_rd_ppm"] for r in rows}
+    assert len(overall) == 1
+    for r in rows:
+        if r["sign_reversal"]:
+            assert r["rd_ppm"] * r["overall_rd_ppm"] < 0
+
+
+def test_vwap_bounds(spark):
+    rows = _run(spark, "vwap_monthly_by_brand")
+    for r in rows:
+        assert r["total_qty"] > 0
+        assert 0 < r["vwap_cents"] <= r["total_cents"]
