@@ -186,3 +186,136 @@ def test_vwap_bounds(spark):
     for r in rows:
         assert r["total_qty"] > 0
         assert 0 < r["vwap_cents"] <= r["total_cents"]
+
+
+# --- wave 28 ---------------------------------------------------------------
+
+
+def test_did_placebo_cells_cover_orders(spark):
+    (r,) = _run(spark, "did_placebo_test")
+    truth = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchone()[0]
+    assert r["n_treated"] + r["n_control"] == truth
+    assert r["placebo_smaller"] == (
+        abs(r["placebo_did_dollars"]) < abs(r["real_did_dollars"])
+    )
+
+
+def test_session_sensitivity_monotone(spark):
+    rows = _run(spark, "session_timeout_sensitivity")
+    rows.sort(key=lambda r: r["timeout_s"])
+    ns = [r["n_sessions"] for r in rows]
+    # longer timeout merges sessions: counts weakly decrease
+    assert ns == sorted(ns, reverse=True)
+    eps = [r["events_per_session_ppm"] for r in rows]
+    assert eps == sorted(eps)
+
+
+def test_sortkey_rle_matches_global_lag(spark):
+    rows = _run(spark, "sortkey_rle_advisor")
+    assert len(rows) == 8
+    # sorting BY a column gives it (near-)minimal runs: under by_ship_day
+    # the ship_day column has runs == distinct days
+    truth = duckdb.sql(
+        f"""SELECT COUNT(DISTINCT epoch_us(l_shipdate) // 86400000000)
+            FROM '{SF_SMOKE}/lineitem.parquet'"""
+    ).fetchone()[0]
+    by = {(r["ordering"], r["col_name"]): r["n_runs"] for r in rows}
+    assert by[("by_ship_day", "ship_day")] == truth
+    for r in rows:
+        assert 1 <= r["n_runs"] <= r["n_rows"]
+
+
+def test_feed_staleness_reference_type(spark):
+    rows = _run(spark, "feed_staleness_slo")
+    assert len(rows) == 5
+    # at least one type holds the global max ts: staleness 0
+    assert min(r["staleness_min"] for r in rows) == 0
+    for r in rows:
+        assert r["staleness_min"] >= 0
+        assert r["slo_fresh_60m"] == (r["staleness_min"] <= 60)
+
+
+def test_cannibalization_r_in_range(spark):
+    rows = _run(spark, "brand_cannibalization_pairs")
+    rs = [r["pearson_r"] for r in rows]
+    assert rs == sorted(rs)
+    for r in rows:
+        assert -1.0 - 1e-12 <= r["pearson_r"] <= 1.0 + 1e-12
+        assert r["brand_a"] < r["brand_b"]
+
+
+def test_fano_nation_coverage(spark):
+    rows = _run(spark, "overdispersion_fano_index")
+    assert len(rows) == 25
+    truth = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_SMOKE}/customer.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == truth
+    for r in rows:
+        assert r["fano_ppm"] >= 0
+        assert r["overdispersed"] == (r["fano_ppm"] > 1_000_000)
+
+
+# --- wave 29 ---------------------------------------------------------------
+
+
+def test_obf_boundaries_decreasing(spark):
+    rows = _run(spark, "group_sequential_obrien_fleming")
+    rows.sort(key=lambda r: r["look"])
+    assert [r["look"] for r in rows] == [1, 2, 3, 4, 5]
+    crits = [r["critical"] for r in rows]
+    assert crits == sorted(crits, reverse=True)
+    # sample sizes accumulate
+    ns = [r["n_treat"] + r["n_control"] for r in rows]
+    assert ns == sorted(ns)
+
+
+def test_ransac_consensus_bounds(spark):
+    (r,) = _run(spark, "ransac_line_daily")
+    assert 2 <= r["n_inliers"] <= r["n_days"]  # anchors are inliers
+    assert 0 <= r["inlier_ppm"] <= 1_000_000
+    assert r["anchor_day1"] < r["anchor_day2"]
+
+
+def test_deming_slope_exceeds_ols_attenuation(spark):
+    (r,) = _run(spark, "deming_regression_daily")
+    # Deming corrects OLS attenuation: |slope| >= |OLS slope| on the
+    # same data (both positive here: more orders, more revenue)
+    import duckdb as d
+
+    ols = d.sql(
+        f"""
+        WITH dd AS (
+          SELECT COUNT(*) AS x,
+                 SUM(CAST(round(o_totalprice) AS BIGINT)) // 1000 AS y
+          FROM '{SF_SMOKE}/orders.parquet'
+          GROUP BY epoch_us(o_orderdate) // 86400000000
+        )
+        SELECT regr_slope(y, x) FROM dd
+        """
+    ).fetchone()[0]
+    assert r["deming_slope"] >= ols - 1e-9
+
+
+def test_adf_tstat_negative_for_mean_reverting(spark):
+    (r,) = _run(spark, "adf_unit_root_test")
+    # daily aggregates of i.i.d.-ish totals are strongly mean-reverting
+    assert r["gamma_hat"] < 0
+    assert r["stationary_95"] == (r["t_stat"] < -2.86)
+
+
+def test_participation_ratio_bounds(spark):
+    (r,) = _run(spark, "embedding_participation_ratio")
+    assert r["n_dims"] == 64
+    assert 1.0 <= r["pr_effective_dims"] <= 64.0
+
+
+def test_aging_buckets_cover_orders(spark):
+    rows = _run(spark, "ar_aging_buckets")
+    truth = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_orders"] for r in rows) == truth
+    assert {r["age_bucket"] for r in rows} <= {"0-30", "31-60", "61-90", "91+"}
