@@ -319,3 +319,42 @@ def test_aging_buckets_cover_orders(spark):
     ).fetchone()[0]
     assert sum(r["n_orders"] for r in rows) == truth
     assert {r["age_bucket"] for r in rows} <= {"0-30", "31-60", "61-90", "91+"}
+
+
+# --- wave 30 ---------------------------------------------------------------
+
+
+def test_adstock_dominates_today(spark):
+    rows = _run(spark, "adstock_geometric_decay")
+    for r in rows:
+        # adstock includes today's revenue at full weight (minus the
+        # ppb truncation), plus non-negative carryover
+        assert r["adstock_kilo"] >= r["revenue_kilo"] - 1
+
+
+def test_haar_energy_split(spark):
+    (r,) = _run(spark, "haar_energy_decomposition")
+    assert r["approx_energy"] > 0 and r["detail_energy"] >= 0
+    assert 0 <= r["detail_share_ppm"] <= 1_000_000
+
+
+def test_jarque_bera_components(spark):
+    (r,) = _run(spark, "jarque_bera_normality")
+    assert r["jb_stat"] >= 0.0
+    assert r["kurtosis"] > 0.0
+    assert r["non_normal_95"] == (r["jb_stat"] > 5.99)
+
+
+def test_variance_ratio_positive(spark):
+    (r,) = _run(spark, "variance_ratio_test")
+    assert r["variance_ratio"] > 0.0
+    assert r["n_diffs_1d"] == r["n_diffs_5d"] + 4
+    assert r["mean_reverting"] == (r["variance_ratio"] < 1.0)
+
+
+def test_retention_rates_and_sentinel(spark):
+    (r,) = _run(spark, "retention_d1_d7_predictive")
+    assert 0.0 <= r["mean_d1_rate"] <= 1.0
+    assert 0.0 <= r["mean_d7_rate"] <= 1.0
+    # either a real correlation or the documented degenerate sentinel
+    assert r["pearson_r"] == -2.0 or -1.0 <= r["pearson_r"] <= 1.0
