@@ -203,7 +203,7 @@ def q_spearman_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     k AS (SELECT * FROM u WHERE t < n ORDER BY abs(ut) DESC, day LIMIT 1)
     SELECT CAST(n AS BIGINT) AS n_days,
-           day AS changepoint_day,
+           CAST(day AS TIMESTAMP) AS changepoint_day,
            CAST(abs(ut) AS BIGINT) AS k_stat,
            CAST(6 * abs(ut) * abs(ut) AS DOUBLE)
              / CAST(n * n * n + n * n AS DOUBLE) AS lambda_stat

@@ -58,7 +58,12 @@ def main() -> int:
     builder = SparkSession.builder.master(
         f"local[{os.environ.get('SPARK_GRAFT_VERIFY_CPUS', '8')}]"
     )
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    # Full-registry sweeps (no query args) run 350+ queries in one JVM —
+    # far past the driver's own <= 50/session contract — so they get a
+    # bigger heap by default; targeted runs keep the stock driver config.
+    mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", None if only else "6g"
+    )
     if mem:
         builder = builder.config("spark.driver.memory", mem)
     spark = builder.getOrCreate()
@@ -73,9 +78,18 @@ def main() -> int:
 
     qs, osql = e.queries(), e.oracle_sql()
     fails = []
+    done = 0
     for name in sorted(qs):
         if only and name not in only:
             continue
+        # Full-sweep hygiene: the driver's own sessions run <= 50
+        # queries; a 350+-query sweep in ONE 1g-heap JVM accumulates
+        # memoized caches (corpus/shingle tables) until the tail of the
+        # alphabet dies with a dead-JVM ConnectionRefused. Evict
+        # between batches — per-query semantics are unaffected.
+        done += 1
+        if not only and done % 40 == 0:
+            spark.catalog.clearCache()
         if name not in osql:
             n = qs[name](spark, sf).count()
             print(f"{name}: NO-ORACLE rows-only ({n} rows)", file=sys.stderr)
