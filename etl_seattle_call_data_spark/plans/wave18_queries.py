@@ -577,9 +577,11 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(F.col("x").cast("decimal(38,0)")).alias("sx_i"),
         F.sum(F.col("y").cast("decimal(38,0)")).alias("sy_i"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy_i"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx_i"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy_i"),
+        # cast BEFORE multiplying: daily-cents x*y passes 2^63 by sf1,
+        # so a BIGINT product overflows ahead of the DECIMAL cast
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy_i"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx_i"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy_i"),
     ).select(
         "lag",
         "n_pairs",
