@@ -578,3 +578,4 @@ from etl_seattle_call_data_spark.plans import wave27_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import wave28_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import wave29_queries  # noqa: E402,F401
 from etl_seattle_call_data_spark.plans import wave30_queries  # noqa: E402,F401
+from etl_seattle_call_data_spark.plans import wave31_queries  # noqa: E402,F401
