@@ -227,8 +227,9 @@ _SL_MIN_LINES = 20
     "supplier_leadtime_league",
     "Supplier lead-time league table: per supplier, line volume, the "
     "DISCRETE median fulfillment lead time (order statistic at rank "
-    "(n+1) DIV 2 — supplier is a FIXED-SIZE dim, 100 rows at any SF, "
-    "so per-supplier windows are bounded by construction) and the "
+    "(n+1) DIV 2 — suppliers scale with SF in THIS synthetic schema, "
+    "but lines-per-supplier stays ~O(600) at every SF, so the "
+    "per-supplier windows are bounded by construction) and the "
     "on-time-within-30-days share in exact ppm; suppliers under 20 "
     "lines suppressed. Lead days clamped to the documented [0, 365] "
     "plausible window (process_capability_leadtime's posture). The "
