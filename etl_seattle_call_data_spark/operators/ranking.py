@@ -260,6 +260,11 @@ def two_phase_running_max(
     the watermark shape; otherwise the inclusive high-water mark.
     ``coarse`` must be order-aligned with the leading ``order_by``
     column and non-null; ``value`` must be non-null and long-castable.
+    ``order_by`` must be a TOTAL order within each coarse bucket
+    (append a unique key, e.g. the row id, as the last sort column):
+    with duplicate sort keys the ``exclusive`` (1 PRECEDING) frame is
+    tie-order-dependent and can nondeterministically diverge from a
+    single-partition oracle window.
     """
     spark = df.sparkSession
     bucketed = df.withColumn("__cb", _guarded_bucket(coarse)).withColumn(

@@ -440,7 +440,7 @@ _WM_LATE_US = 6 * 3600 * 1000000  # 6h watermark
     f"""
     WITH e AS (
       SELECT event_id, event_type, epoch_us(ts) AS us,
-             event_id * {_WM_JITTER_MOD + 1}
+             event_id
                + (event_id % {_WM_ID_MOD}) * {_WM_JITTER_MULT}
                  % {_WM_JITTER_MOD} AS arrival
       FROM events
@@ -474,7 +474,7 @@ def q_late_event_watermark_census(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         F.expr("unix_micros(ts)").alias("us"),
         F.expr(
-            f"event_id * {_WM_JITTER_MOD + 1}"
+            f"event_id"
             f" + (event_id % {_WM_ID_MOD}) * {_WM_JITTER_MULT}"
             f" % {_WM_JITTER_MOD}"
         ).alias("arrival"),

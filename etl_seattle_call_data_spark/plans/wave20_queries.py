@@ -75,28 +75,76 @@ _HOLT_SQL = f"""
 """
 
 
+# Python truncating intdiv matching SQL's (x - x % d) / d with
+# dividend-signed % (Python's % is divisor-signed, so spell truncation
+# toward zero explicitly; d is a positive literal).
+def _py_tdiv(x: int, d: int) -> int:
+    return -((-x) // d) if x < 0 else x // d
+
+
 @register(
     "holt_linear_smoothing_mae",
     "Holt's linear (double) exponential smoothing over the monthly "
-    "revenue series as ONE shared WITH RECURSIVE string both engines "
-    "execute verbatim (the recursive-CTE sibling of "
-    "recursive_reachability): state (level, trend) advances one "
-    "month per recursion step with alpha=0.3, beta=0.1 in exact "
-    "integer fixed point — the truncating division is spelled "
-    "portably as (x - x%10)/10 so no dialect split exists — while "
-    "the one-step-ahead absolute forecast errors accumulate in the "
-    "same state row. Output: final level/trend and the one-step MAE "
-    "(the exponential-smoothing baseline a forecaster must beat; "
-    "complements the persistence baseline naive_ltv_forecast_mae). "
-    "Recursion depth = horizon months (~80 — calendar-bounded at "
-    "ANY SF, under Spark's level limit); the heavy lifting (monthly "
-    "rollup) happens once before the recursion, which then iterates "
-    "on a 1-row frontier.",
+    "revenue series: state (level, trend) advances one month per step "
+    "with alpha=0.3, beta=0.1 in exact integer fixed point — the "
+    "truncating division is spelled portably as (x - x%10)/10 so no "
+    "dialect split exists — while the one-step-ahead absolute "
+    "forecast errors accumulate alongside. Output: final level/trend "
+    "and the one-step MAE (the exponential-smoothing baseline a "
+    "forecaster must beat; complements the persistence baseline "
+    "naive_ltv_forecast_mae). The oracle runs the recursion as ONE "
+    "WITH RECURSIVE string; the Spark side does the heavy lifting "
+    "(the monthly rollup — the only fact-scale pass) distributed, "
+    "then collects the ~80-row monthly series (calendar-bounded at "
+    "ANY SF, same bounded-driver-metadata convention as ranking.py's "
+    "bucket offsets) and folds the inherently-sequential recursion in "
+    "exact Python bigints: identical fixed-point arithmetic, one IEEE "
+    "division at the end, without paying ~80 sequential Spark jobs of "
+    "fixed scheduler cost for a 1-row-frontier recursion.",
     _HOLT_SQL,
 )
 def q_holt_linear_smoothing_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
     load_tables(spark, sf_dir, names=("orders",))
-    return spark.sql(_HOLT_SQL)
+    # Same rollup expressions as the oracle's `monthly` CTE, run on
+    # Spark so round/cast semantics are engine-identical.
+    monthly = spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INTEGER) * 100
+                 + CAST(month(o_orderdate) AS INTEGER) AS ym,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders
+        GROUP BY CAST(year(o_orderdate) AS INTEGER) * 100
+                 + CAST(month(o_orderdate) AS INTEGER)
+        """
+    )
+    series = sorted(
+        ((r["ym"], r["x"]) for r in monthly.collect()), key=lambda p: p[0]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_months", T.LongType()),
+            T.StructField("final_level_dollars", T.DoubleType()),
+            T.StructField("final_trend_dollars", T.DoubleType()),
+            T.StructField("one_step_mae_dollars", T.DoubleType()),
+        ]
+    )
+    if not series:
+        return spark.createDataFrame([], schema)
+    # Exact-integer Holt fold: mirrors the recursive CTE step for step.
+    level, trend, err_sum, n_err = series[0][1], 0, 0, 0
+    for _, x in series[1:]:
+        err_sum += abs(x - (level + trend))
+        n_err += 1
+        new_level = _py_tdiv(3 * x + 7 * (level + trend), 10)
+        trend = _py_tdiv((new_level - level) + 9 * trend, 10)
+        level = new_level
+    mae = (
+        float(err_sum) / (100.0 * float(n_err)) if n_err else float("nan")
+    )
+    row = (len(series), float(level) / 100.0, float(trend) / 100.0, mae)
+    return spark.createDataFrame([row], schema)
 
 
 # ---------------------------------------------------------------------------

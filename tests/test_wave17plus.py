@@ -127,6 +127,10 @@ def test_watermark_census_accounting(spark):
         assert 0 <= r["n_late"] <= r["n_events"]
         assert 0 <= r["late_ppm"] <= 1_000_000
         assert r["max_lateness_s"] >= 0
+    # the jitter must actually reorder the feed: with stride-1 arrival
+    # plus jitter in [0,96], events DO arrive behind the high-water
+    # mark, so lateness is non-vacuous in aggregate
+    assert sum(r["max_lateness_s"] for r in rows) > 0
 
 
 def test_acf_lag_rows_and_range(spark):
