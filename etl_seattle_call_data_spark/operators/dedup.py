@@ -249,6 +249,7 @@ def incremental_dedup(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_fp_col: str | None = None,
 ) -> DataFrame:
     """Documents in ``new_docs`` whose canonical fingerprint does NOT
     already exist in ``corpus`` — the incremental-crawl shape: dedup a
@@ -257,11 +258,17 @@ def incremental_dedup(
 
     Plan: fingerprint both sides (narrow map) + one left-anti equi-join
     on the fingerprint. At scale the corpus side is a pre-computed
-    fingerprint table (store it once, anti-join each new batch); the
-    anti-join shuffles only fingerprints, never document bodies."""
+    fingerprint table (store it once, anti-join each new batch — pass
+    its fingerprint column name as ``corpus_fp_col`` to skip re-hashing;
+    streaming/dedup_gate.py feeds the KeyedUpsertSink-backed store this
+    way); the anti-join shuffles only fingerprints, never document
+    bodies."""
     fp = F.md5(canonical_text(F.col(text_col))).alias("fingerprint")
     new_fp = new_docs.select(F.col(id_col), fp)
-    corpus_fp = corpus.select(fp)
+    if corpus_fp_col is None:
+        corpus_fp = corpus.select(fp)
+    else:
+        corpus_fp = corpus.select(F.col(corpus_fp_col).alias("fingerprint"))
     return new_fp.join(corpus_fp, "fingerprint", "left_anti").select(id_col, "fingerprint")
 
 

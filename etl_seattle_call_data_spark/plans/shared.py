@@ -50,3 +50,34 @@ def memo_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return cache_memo("basket:pairs", ("basket:pairs", sf_dir), build)
+
+
+def memo_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric directed co-purchase edge list (src, dst, n_ab) — each
+    undirected pair mirrored both ways — HASH-PARTITIONED ON ``src`` and
+    persisted once per corpus per session.
+
+    The whole iterative-graph family (PageRank, label propagation,
+    k-core peeling, Bellman-Ford) starts from this same frame and joins
+    it on ``src`` once per round. Materializing the union once and
+    pinning ``repartition(src)`` UNDER the persist means every one of
+    those joins (and every ``groupBy(src)`` degree aggregate) satisfies
+    its required distribution from the cache: Catalyst adds an Exchange
+    only to the small node-state side, so the fact-scale edge frame is
+    shuffled ZERO times per round instead of once — the saving
+    multiplies by rounds x queries within a bench session. Derive
+    per-query weights by projection; never re-union the pair table.
+    """
+
+    def build() -> DataFrame:
+        prs = memo_copurchase_pairs(spark, sf_dir)
+        sym = prs.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "n_ab"
+        ).unionByName(
+            prs.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst"), "n_ab"
+            )
+        )
+        return sym.repartition(F.col("src"))
+
+    return cache_memo("basket:edges", ("basket:edges", sf_dir), build)

@@ -425,16 +425,12 @@ _PR_TOTAL = 1_000_000_000_000  # rank mass in integer micro-units
     """,
 )
 def q_pagerank_copurchase_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_edges
 
-    prs = memo_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
-    # mirrored directed edges are two narrow projections of the cached
-    # pair table — no second cache needed
-    edges = prs.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
-    ).unionByName(
-        prs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    )
+    # shared src-partitioned symmetric edge cache: the per-iteration
+    # join on src and the degree groupBy(src) both satisfy their
+    # distribution from the cache — zero edge-frame shuffles per round
+    edges = memo_copurchase_edges(spark, sf_dir).select("src", "dst")
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )

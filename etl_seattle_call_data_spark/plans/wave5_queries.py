@@ -1336,21 +1336,18 @@ _BF_INF = 9_000_000_000_000_000  # unreachable sentinel, bigint-safe under +w
     """,
 )
 def q_shortest_path_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
-
-    prs = memo_copurchase_pairs(spark, sf_dir)
-    edges = prs.select(
-        F.col("part_a").alias("src"),
-        F.col("part_b").alias("dst"),
-        F.expr("1000000 DIV n_ab").alias("w"),
-    ).unionByName(
-        prs.select(
-            F.col("part_b").alias("src"),
-            F.col("part_a").alias("dst"),
-            F.expr("1000000 DIV n_ab").alias("w"),
-        )
+    from etl_seattle_call_data_spark.plans.shared import (
+        memo_copurchase_edges,
+        memo_copurchase_pairs,
     )
-    src = prs.agg(F.min("part_a").alias("sid"))
+
+    # shared src-partitioned symmetric edge cache (see
+    # memo_copurchase_edges): each relax round's join on src reads the
+    # cached partitioning — only the small dist frontier shuffles
+    edges = memo_copurchase_edges(spark, sf_dir).select(
+        "src", "dst", F.expr("1000000 DIV n_ab").alias("w")
+    )
+    src = memo_copurchase_pairs(spark, sf_dir).agg(F.min("part_a").alias("sid"))
     dist = src.select(F.col("sid").alias("node"), F.lit(0).cast("bigint").alias("d"))
     for _ in range(3):
         relaxed = edges.join(
@@ -2641,14 +2638,10 @@ def q_attribution_linear_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_kcore_peeling_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_edges
 
-    prs = memo_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
-    edges = prs.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
-    ).unionByName(
-        prs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    )
+    # shared src-partitioned symmetric edge cache (memo_copurchase_edges)
+    edges = memo_copurchase_edges(spark, sf_dir).select("src", "dst")
     for _ in range(3):
         # each round reads `edges` twice (survivor derivation + the semi
         # probe); without materialization the whole prefix re-executes
@@ -2656,14 +2649,19 @@ def q_kcore_peeling_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-round localCheckpoint cuts lineage, exactly the canonical
         # iterative-graph checkpoint cadence (cf. dedup connected
         # components); state is the edge set, bounded by the graph.
+        # localCheckpoint preserves the src hash partitioning, so the
+        # degree groupBy(src) needs no Exchange; the dst-side semi runs
+        # BEFORE the src-side one so the round's output stays
+        # src-partitioned for the next round (survivor node lists are
+        # node-scale and broadcast under AQE either way).
         edges = edges.localCheckpoint(eager=False)
         deg = edges.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("d")
         )
         survivors = deg.filter(F.col("d") >= 3).select("node")
         edges = edges.join(
-            survivors.withColumnRenamed("node", "src"), "src", "left_semi"
-        ).join(survivors.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            survivors.withColumnRenamed("node", "dst"), "dst", "left_semi"
+        ).join(survivors.withColumnRenamed("node", "src"), "src", "left_semi")
     d3 = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )

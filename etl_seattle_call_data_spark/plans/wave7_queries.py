@@ -743,19 +743,23 @@ _LPA_PAIRS_CTE = """
     """,
 )
 def q_label_propagation_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_edges
 
-    pairs = memo_copurchase_pairs(spark, sf_dir)
-    edges = pairs.selectExpr("part_a AS u", "part_b AS v", "n_ab AS w").unionByName(
-        pairs.selectExpr("part_b AS u", "part_a AS v", "n_ab AS w")
+    # shared src-partitioned symmetric edge cache: the edge set is
+    # invariant under (u,v) swap with equal weights, so "join labels on
+    # v, group by u" equals "join labels on u, group by v" — the latter
+    # reads the cached src partitioning (no edge shuffle per round; only
+    # the node-scale label frame and the vote rollup move)
+    edges = memo_copurchase_edges(spark, sf_dir).selectExpr(
+        "src AS u", "dst AS v", "n_ab AS w"
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
     for _ in range(2):
         votes = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy(edges.u.alias("node2"), "label")
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(edges.v.alias("node2"), "label")
             .agg(
                 (
                     F.sum("w").cast("bigint") * F.lit(1000000000)

@@ -1,0 +1,94 @@
+"""Streaming incremental near-dup gate: drop documents whose canonical
+fingerprint was already seen in ANY earlier micro-batch, forward only
+novel documents, and persist the growing fingerprint corpus in a
+KeyedUpsertSink — the streaming face of operators/dedup.incremental_dedup,
+mirroring the T5 upsert semantics (streaming/sinks.py) the same way
+dq_gate.py mirrors operators/dq.py.
+
+Shape per epoch (all batch-scale, never store-scale):
+
+1. within-batch first-wins collapse (row_number over the fingerprint,
+   ordered by the id — deterministic when one batch carries the same
+   document twice);
+2. ``incremental_dedup`` left-anti equi-join of the batch fingerprints
+   against the store's fingerprint column — the store side is ALREADY
+   fingerprints (``corpus_fp_col``), so nothing is re-hashed and the
+   join moves 16-byte keys, not document bodies;
+3. novel full rows go to the caller's ``write_unique`` writer;
+4. novel fingerprints upsert into the store (idempotent on epoch
+   replay: a retried epoch re-upserts the same keys and the anti-join
+   keeps the output duplicate-free).
+
+At 100 TB the store is exactly the pre-computed corpus fingerprint
+table the batch operator's docstring calls for: bucketed by key so an
+epoch's anti-join + upsert touch O(batch) buckets, not the store. The
+exactness contract matches exact dedup (md5 of canonical text); for
+NEAR-dup gating swap step 2's fingerprint for a MinHash band key set —
+the join shape (keyed anti-join vs an upsert store) is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from etl_seattle_call_data_spark.operators.dedup import incremental_dedup
+from etl_seattle_call_data_spark.operators.text import canonical_text
+from etl_seattle_call_data_spark.streaming.sinks import KeyedUpsertSink
+
+
+def dedup_writer(
+    store: KeyedUpsertSink,
+    write_unique: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function enforcing cross-batch exact
+    dedup against ``store`` (a KeyedUpsertSink keyed on ``fingerprint``).
+    Novel rows (original schema) go to ``write_unique``; the store gains
+    one (fingerprint, first id) row per novel document."""
+    if store.key != "fingerprint":
+        raise ValueError(
+            f"dedup store must be keyed on 'fingerprint', got {store.key!r}"
+        )
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        fp = F.md5(canonical_text(F.col(text_col))).alias("fingerprint")
+        with_fp = batch.select("*", fp)
+        w = Window.partitionBy("fingerprint").orderBy(id_col)
+        firsts = (
+            with_fp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .persist()
+        )
+        try:
+            corpus = store.read(spark)
+            if corpus is None:
+                novel_ids = firsts.select(id_col, "fingerprint")
+            else:
+                novel_ids = incremental_dedup(
+                    firsts, corpus, id_col=id_col, text_col=text_col,
+                    corpus_fp_col="fingerprint",
+                )
+            # join back on the id for the full novel rows (batch-scale)
+            novel = firsts.join(
+                novel_ids.select(id_col), id_col, "left_semi"
+            ).persist()
+            try:
+                write_unique(novel.drop("fingerprint"), epoch_id)
+                store.upsert_batch(
+                    novel.select(
+                        "fingerprint", F.col(id_col).alias("first_doc_id")
+                    ),
+                    epoch_id,
+                )
+            finally:
+                novel.unpersist()
+        finally:
+            firsts.unpersist()
+
+    return _write

@@ -21,6 +21,20 @@ except ImportError:
         sys.path.insert(0, _SHIM)
         os.environ["PYTHONPATH"] = _SHIM + os.pathsep + os.environ.get("PYTHONPATH", "")
 
+# Fail LOUDLY if the shim did not actually resolve: the shim leans on
+# /usr/lib/google-cloud-sdk's vendored pure-Python protobuf being
+# present (vendor/protobuf_shim/README.md). If a future container drops
+# the SDK, the TWS e2e tests would silently re-skip — this assert keeps
+# the 0-skip invariant honest by making the breakage a collection error.
+try:
+    import google.protobuf  # noqa: F401
+except ImportError as _e:  # pragma: no cover - container regression only
+    raise RuntimeError(
+        "google.protobuf failed to resolve even via vendor/protobuf_shim "
+        "(is /usr/lib/google-cloud-sdk still present?); the "
+        "transformWithStateInPandas e2e tests cannot run: " + repr(_e)
+    ) from _e
+
 from etl_seattle_call_data_spark.session import get_spark  # noqa: E402
 
 

@@ -876,3 +876,68 @@ def test_kafka_seam_end_to_end_upsert(spark, tmp_path):
     assert out["A"].priority == "9"  # poll-2 update won
     assert out["A"].call_sign_response_time_s_ == 300  # duration cleaning ran
     assert out["C"].call_sign_response_time_s_ == 45
+
+
+def test_streaming_dedup_gate_drops_cross_batch_duplicates(spark, tmp_path):
+    """T5-mirroring incremental dedup: duplicate docs (same canonical
+    text) moving through the stream are dropped — within one batch AND
+    across batches via the KeyedUpsertSink fingerprint store — while
+    novel docs pass to the unique writer exactly once."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from etl_seattle_call_data_spark.streaming.dedup_gate import dedup_writer
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    out = tmp_path / "unique_out"
+    store = KeyedUpsertSink(str(tmp_path / "fp_store"), key="fingerprint")
+
+    def write_unique(batch, epoch_id):
+        batch.write.mode("append").parquet(str(out))
+
+    def publish(name: str, docs: list[tuple[str, str]]) -> None:
+        with open(src / name, "w") as f:
+            for doc_id, text in docs:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    # batch 1: d3 is a canonical dup of d1 (case/whitespace variance) —
+    # the within-batch collapse must keep only the smallest id
+    publish("b1.json", [
+        ("d1", "hello world"),
+        ("d2", "foo bar"),
+        ("d3", "  Hello   WORLD "),
+    ])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(dedup_writer(store, write_unique))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch 2: d4 duplicates batch 1's d1 ACROSS batches (store hit),
+    # d5 is novel
+    publish("b2.json", [("d4", "hello world"), ("d5", "genuinely new text")])
+    q2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(dedup_writer(store, write_unique))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    uniq = {r.doc_id: r.text for r in spark.read.parquet(str(out)).collect()}
+    assert set(uniq) == {"d1", "d2", "d5"}
+    assert uniq["d1"] == "hello world"
+
+    fps = {r.fingerprint: r.first_doc_id for r in store.read(spark).collect()}
+    assert len(fps) == 3
+    assert set(fps.values()) == {"d1", "d2", "d5"}

@@ -31,11 +31,22 @@ print(f"bench OK: {d['n']} queries, {d['value']}s at sf={d['sf']}")
 PY
 
 echo "=== 3b/4 bench regression gate (vs last committed BENCH_DETAIL) ==="
+drift_verdict="host-drift: n/a (no committed baseline)"
 prev_commit=$(git rev-list -1 HEAD -- BENCH_DETAIL.json)
 if [ -n "$prev_commit" ]; then
   git show "$prev_commit":BENCH_DETAIL.json > /tmp/bench_prev.json
   # regression = >1.3x the committed time AND >0.5s absolute drift
-  python tools/bench_regress.py /tmp/bench_prev.json --threshold 1.3 --grace 0.5 || fail=1
+  python tools/bench_regress.py /tmp/bench_prev.json --threshold 1.3 --grace 0.5 \
+    >/tmp/bench_regress_out.txt 2>&1 || fail=1
+  cat /tmp/bench_regress_out.txt
+  # surface the host-drift band verdict in the final summary so a
+  # fleet-wide real slowdown can't hide inside the median normalization
+  hostmed=$(grep -oE 'host-speed median [0-9.]+' /tmp/bench_regress_out.txt | head -1 | grep -oE '[0-9.]+')
+  if grep -q "WARNING: host-speed median" /tmp/bench_regress_out.txt; then
+    drift_verdict="host-drift: OUTSIDE band [0.7,1.6] (median ${hostmed:-?}) — inspect with --no-host-norm"
+  else
+    drift_verdict="host-drift: within band (median ${hostmed:-?})"
+  fi
 else
   echo "no committed BENCH_DETAIL.json yet; skipping"
 fi
@@ -56,8 +67,22 @@ assert int(m.group(1)) == n and int(m.group(2)) == n, (
     f"README says {m.group(1)}/{m.group(2)} queries but the live registry has {n} — "
     "update README.md (and SURVEY.md §2.9) before ending the round"
 )
-print(f"doc counts OK: {n} queries")
+# docs/CATALOG.md must list exactly the live registry (same drift gate
+# as the README count; regenerate with `python tools/catalog_dump.py`)
+cat_names = set(
+    line.split("|")[1].strip()
+    for line in open("docs/CATALOG.md")
+    if line.startswith("| ") and not line.startswith("| query ")
+)
+missing = sorted(set(REGISTRY) - cat_names)
+stale = sorted(cat_names - set(REGISTRY))
+assert not missing and not stale, (
+    f"docs/CATALOG.md drift — missing: {missing[:5]} stale: {stale[:5]} — "
+    "regenerate with `python tools/catalog_dump.py`"
+)
+print(f"doc counts OK: {n} queries (README + CATALOG in sync)")
 PY
 
-[ "$fail" = 0 ] && echo "ROUNDCHECK GREEN" || echo "ROUNDCHECK FAILED"
+[ "$fail" = 0 ] && echo "ROUNDCHECK GREEN ($drift_verdict)" \
+                || echo "ROUNDCHECK FAILED ($drift_verdict)"
 exit $fail
