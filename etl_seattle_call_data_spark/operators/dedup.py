@@ -198,6 +198,49 @@ def minhash_band_candidates(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """One ``(id, band_key)`` row per document per LSH band, where
+    ``band_key = '<band_idx>:' || md5(concat of the band's signature
+    rows)`` — the KEYED form of the banded LSH scheme: two documents
+    are candidate near-duplicates iff they share at least one band_key.
+
+    This is what a streaming near-dup gate stores and anti-joins
+    against (streaming/dedup_gate.near_dedup_writer): the store holds
+    band keys, an incoming batch is a candidate-duplicate when any of
+    its n_bands keys hits. Documents shorter than the shingle width
+    produce NO band keys (no shingles → no signature) and therefore
+    never match — callers must treat keyless docs as novel."""
+    assert num_hashes % rows_per_band == 0
+    num_bands = num_hashes // rows_per_band
+    sig = _minhash_from_shingles(
+        shingle_sets(df, id_col, text_col, n), num_hashes, id_col
+    )
+    bands = F.array(
+        *[
+            F.concat(
+                F.lit(f"{i}:"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"h{i * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                ),
+            )
+            for i in range(num_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,

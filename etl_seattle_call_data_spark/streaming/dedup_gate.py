@@ -23,8 +23,9 @@ At 100 TB the store is exactly the pre-computed corpus fingerprint
 table the batch operator's docstring calls for: bucketed by key so an
 epoch's anti-join + upsert touch O(batch) buckets, not the store. The
 exactness contract matches exact dedup (md5 of canonical text); for
-NEAR-dup gating swap step 2's fingerprint for a MinHash band key set —
-the join shape (keyed anti-join vs an upsert store) is unchanged.
+NEAR-dup gating ``near_dedup_writer`` swaps step 2's fingerprint for a
+MinHash band key set — the join shape (keyed anti-join vs an upsert
+store) is unchanged.
 """
 
 from __future__ import annotations
@@ -34,7 +35,10 @@ from typing import Callable
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from etl_seattle_call_data_spark.operators.dedup import incremental_dedup
+from etl_seattle_call_data_spark.operators.dedup import (
+    incremental_dedup,
+    minhash_band_keys,
+)
 from etl_seattle_call_data_spark.operators.text import canonical_text
 from etl_seattle_call_data_spark.streaming.sinks import KeyedUpsertSink
 
@@ -90,5 +94,86 @@ def dedup_writer(
                 novel.unpersist()
         finally:
             firsts.unpersist()
+
+    return _write
+
+
+def near_dedup_writer(
+    store: KeyedUpsertSink,
+    write_unique: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """NEAR-dup variant of :func:`dedup_writer`: a document is dropped
+    when ANY of its MinHash band keys (operators/dedup.minhash_band_keys)
+    already exists in ``store`` (cross-batch) or belongs to a smaller-id
+    document in the same batch (within-batch single-linkage first-wins).
+
+    Semantics are LSH-CANDIDATE granularity — band-key collision drops
+    without a Jaccard verify pass, the standard streaming-filter
+    trade-off (a verify join against stored shingle sets would make the
+    store document-body-scale; run the batch dedup operators over the
+    forwarded corpus when exact-threshold semantics matter). Documents
+    too short to shingle produce no band keys and always pass as novel.
+
+    Per-epoch cost: one batch-scale shingle/signature pass, one keyed
+    anti-join of n_bands keys/doc against the bucketed store, one
+    upsert of the kept docs' keys. Replay-safe in the same way as
+    ``dedup_writer``: ``write_unique`` runs before the store upsert,
+    and a fully-replayed epoch finds its own keys in the store and
+    forwards nothing twice."""
+    if store.key != "band_key":
+        raise ValueError(
+            f"near-dup store must be keyed on 'band_key', got {store.key!r}"
+        )
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        bands = minhash_band_keys(
+            batch, num_hashes=num_hashes, rows_per_band=rows_per_band,
+            id_col=id_col, text_col=text_col, n=shingle_n,
+        ).persist()
+        try:
+            # ids hitting the cross-batch store on any band
+            corpus = store.read(spark)
+            if corpus is None:
+                store_hits = bands.select(id_col).limit(0)
+            else:
+                store_hits = (
+                    bands.join(corpus.select("band_key"), "band_key", "left_semi")
+                    .select(id_col)
+                    .distinct()
+                )
+            # within-batch single-linkage first-wins: drop any doc that
+            # shares a band with a smaller id (the chain's global min id
+            # always survives this rule)
+            keepers = bands.groupBy("band_key").agg(F.min(id_col).alias("__keep"))
+            batch_dups = (
+                bands.join(keepers, "band_key")
+                .filter(F.col(id_col) > F.col("__keep"))
+                .select(id_col)
+                .distinct()
+            )
+            novel = (
+                batch.join(store_hits, id_col, "left_anti")
+                .join(batch_dups, id_col, "left_anti")
+                .persist()
+            )
+            try:
+                write_unique(novel, epoch_id)
+                store.upsert_batch(
+                    bands.join(novel.select(id_col), id_col, "left_semi")
+                    .select("band_key", F.col(id_col).alias("first_doc_id")),
+                    epoch_id,
+                )
+            finally:
+                novel.unpersist()
+        finally:
+            bands.unpersist()
+            batch.unpersist()
 
     return _write

@@ -941,3 +941,72 @@ def test_streaming_dedup_gate_drops_cross_batch_duplicates(spark, tmp_path):
     fps = {r.fingerprint: r.first_doc_id for r in store.read(spark).collect()}
     assert len(fps) == 3
     assert set(fps.values()) == {"d1", "d2", "d5"}
+
+
+def test_streaming_near_dedup_gate_minhash_bands(spark, tmp_path):
+    """Near-dup streaming gate: MinHash band-key collisions drop
+    near-duplicates (one word changed) across batches, identical docs
+    within a batch, and keyless too-short docs always pass as novel."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from etl_seattle_call_data_spark.streaming.dedup_gate import near_dedup_writer
+
+    T1 = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sparrows watch from the old oak tree near the river bank at dawn"
+    )
+    T1_NEAR = T1.replace("dawn", "dusk")  # shares 2 of 4 band keys with T1
+    T2 = (
+        "completely different subject matter entirely about distributed "
+        "query engines shuffling columnar batches across executor threads "
+        "with adaptive partition coalescing enabled everywhere tonight"
+    )
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    out = tmp_path / "nd_out"
+    store = KeyedUpsertSink(str(tmp_path / "band_store"), key="band_key")
+
+    def write_unique(batch, epoch_id):
+        batch.write.mode("append").parquet(str(out))
+
+    def publish(name, docs):
+        with open(src / name, "w") as f:
+            for doc_id, text in docs:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def run_epoch():
+        # one shared checkpoint: the second query resumes and processes
+        # only the NEW file (keyless docs pass the gate again on a full
+        # replay by design — offsets are what make epochs exactly-once)
+        q = (
+            spark.readStream.schema(schema).json(str(src))
+            .writeStream.foreachBatch(near_dedup_writer(store, write_unique))
+            .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: a2 identical to a1 (within-batch drop, min id wins);
+    # b1 unrelated; s1 too short to shingle (no band keys -> passes)
+    publish("b1.json", [("a1", T1), ("a2", T1), ("b1", T2), ("s1", "tiny doc")])
+    run_epoch()
+
+    # batch 2: c1 near-dup of batch 1's a1 (cross-batch band hit ->
+    # dropped); c2 genuinely novel
+    publish("b2.json", [
+        ("c1", T1_NEAR),
+        ("c2", "fresh unseen narrative about glacier moraines retreating "
+               "slowly under august sunlight measured by patient surveyors"),
+    ])
+    run_epoch()
+
+    uniq = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert uniq == ["a1", "b1", "c2", "s1"]
+
+    # store holds band keys only for forwarded, shingle-able docs
+    owners = {r.first_doc_id for r in store.read(spark).collect()}
+    assert owners == {"a1", "b1", "c2"}
