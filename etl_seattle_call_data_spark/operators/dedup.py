@@ -293,6 +293,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_fp_col: str | None = None,
+    new_fp_col: str | None = None,
 ) -> DataFrame:
     """Documents in ``new_docs`` whose canonical fingerprint does NOT
     already exist in ``corpus`` — the incremental-crawl shape: dedup a
@@ -305,9 +306,17 @@ def incremental_dedup(
     its fingerprint column name as ``corpus_fp_col`` to skip re-hashing;
     streaming/dedup_gate.py feeds the KeyedUpsertSink-backed store this
     way); the anti-join shuffles only fingerprints, never document
-    bodies."""
+    bodies. Either side may arrive pre-hashed: ``new_fp_col`` mirrors
+    ``corpus_fp_col`` for a batch that already carries its fingerprint
+    (the dedup gate's within-batch collapse computes it first — without
+    this the canonicalize+hash pass would run twice per epoch)."""
     fp = F.md5(canonical_text(F.col(text_col))).alias("fingerprint")
-    new_fp = new_docs.select(F.col(id_col), fp)
+    if new_fp_col is None:
+        new_fp = new_docs.select(F.col(id_col), fp)
+    else:
+        new_fp = new_docs.select(
+            F.col(id_col), F.col(new_fp_col).alias("fingerprint")
+        )
     if corpus_fp_col is None:
         corpus_fp = corpus.select(fp)
     else:

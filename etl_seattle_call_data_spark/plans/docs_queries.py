@@ -249,6 +249,76 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
+def _band_key_census_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(num_hashes)
+    )
+    keys = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, '{i}:' || md5(h{i * rows_per_band} || h{i * rows_per_band + 1}) AS band_key FROM sig"
+        for i in range(num_hashes // rows_per_band)
+    )
+    return f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sig AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    keys AS (
+{keys}
+    ),
+    per_key AS (SELECT band_key, count(*) AS c FROM keys GROUP BY band_key)
+    SELECT CAST(split_part(band_key, ':', 1) AS INTEGER) AS band_idx,
+           CAST(sum(c) AS BIGINT) AS n_doc_keys,
+           count(*) AS n_keys,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_colliding_keys,
+           CAST(sum(c * (c - 1)) AS BIGINT) // 2 AS n_collision_pairs,
+           min(band_key) AS min_band_key,
+           max(band_key) AS max_band_key
+    FROM per_key GROUP BY 1
+    """
+
+
+@register(
+    "minhash_band_key_census",
+    "Per-band census of the KEYED MinHash LSH scheme the streaming "
+    "near-dup gate stores and anti-joins against (operators/dedup."
+    "minhash_band_keys → streaming/dedup_gate.near_dedup_writer): for "
+    "each of the 4 bands, total doc-keys, distinct keys, colliding keys "
+    "(≥2 docs), exact collision pairs Σ c·(c−1) DIV 2, and the lexical "
+    "min/max band_key — the min/max expose the literal '<idx>:<md5>' "
+    "key strings, so the census hash-verifies the exact key format the "
+    "gate persists (CROSS_ENGINE rules 24, 3, 31/36). Plan: one "
+    "shingle→signature pass (shared md5 tokenization), explode to 4 "
+    "keys/doc, two key-grouped aggregations — shuffles carry band keys, "
+    "never document bodies; 4-row output at any corpus size.",
+    _band_key_census_oracle(),
+)
+def q_minhash_band_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keys = dedup.minhash_band_keys(docs)
+    per_key = keys.groupBy("band_key").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_key.withColumn(
+            "band_idx", F.split(F.col("band_key"), ":").getItem(0).cast("int")
+        )
+        .groupBy("band_idx")
+        .agg(
+            F.sum("c").cast("long").alias("n_doc_keys"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_colliding_keys"),
+            F.expr("CAST(sum(c * (c - 1)) AS BIGINT) DIV 2").alias(
+                "n_collision_pairs"
+            ),
+            F.min("band_key").alias("min_band_key"),
+            F.max("band_key").alias("max_band_key"),
+        )
+    )
+
+
 def _simhash_cte() -> str:
     bit_sums = ",\n             ".join(
         f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"

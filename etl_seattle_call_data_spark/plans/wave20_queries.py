@@ -69,7 +69,8 @@ _HOLT_SQL = f"""
     SELECT CAST(t AS BIGINT) AS n_months,
            CAST(level AS DOUBLE) / 100.0 AS final_level_dollars,
            CAST(trend AS DOUBLE) / 100.0 AS final_trend_dollars,
-           CAST(err_sum AS DOUBLE) / (100.0 * CAST(n_err AS DOUBLE))
+           CAST(err_sum AS DOUBLE)
+             / (100.0 * CAST(NULLIF(n_err, 0) AS DOUBLE))
              AS one_step_mae_dollars
     FROM holt WHERE t = (SELECT MAX(idx) FROM series)
 """
@@ -140,9 +141,11 @@ def q_holt_linear_smoothing_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_level = _py_tdiv(3 * x + 7 * (level + trend), 10)
         trend = _py_tdiv((new_level - level) + 9 * trend, 10)
         level = new_level
-    mae = (
-        float(err_sum) / (100.0 * float(n_err)) if n_err else float("nan")
-    )
+    # Single-month series (n_err == 0): NULL on BOTH sides — the oracle
+    # divides by NULLIF(n_err, 0), so neither engine evaluates 0.0/0.0
+    # (whose NaN-vs-NULL result is a DuckDB config knob). Unreachable at
+    # any shipped SF (orders spans ~80 months) but kept exact anyway.
+    mae = float(err_sum) / (100.0 * float(n_err)) if n_err else None
     row = (len(series), float(level) / 100.0, float(trend) / 100.0, mae)
     return spark.createDataFrame([row], schema)
 

@@ -15,9 +15,19 @@ Shape per epoch (all batch-scale, never store-scale):
    fingerprints (``corpus_fp_col``), so nothing is re-hashed and the
    join moves 16-byte keys, not document bodies;
 3. novel full rows go to the caller's ``write_unique`` writer;
-4. novel fingerprints upsert into the store (idempotent on epoch
-   replay: a retried epoch re-upserts the same keys and the anti-join
-   keeps the output duplicate-free).
+4. novel fingerprints upsert into the store.
+
+Replay contract — AT-LEAST-ONCE for ``write_unique``, exactly-once for
+the store. ``write_unique`` deliberately runs BEFORE the upsert (the
+opposite order could drop documents forever: a crash after the upsert
+but before the forward would make the replay see its own keys and
+forward nothing). The cost is the standard foreachBatch crash window:
+an epoch that dies BETWEEN the two writes re-forwards its novel rows on
+replay. Once the upsert has committed, a replayed epoch finds its own
+keys in the store and forwards nothing twice. Downstream writers that
+need exactly-once should therefore be keyed-idempotent on the document
+id (e.g. another KeyedUpsertSink), which the crash-window e2e test
+exercises (tests/test_streaming.py).
 
 At 100 TB the store is exactly the pre-computed corpus fingerprint
 table the batch operator's docstring calls for: bucketed by key so an
@@ -52,7 +62,14 @@ def dedup_writer(
     """Build a ``foreachBatch`` function enforcing cross-batch exact
     dedup against ``store`` (a KeyedUpsertSink keyed on ``fingerprint``).
     Novel rows (original schema) go to ``write_unique``; the store gains
-    one (fingerprint, first id) row per novel document."""
+    one (fingerprint, first id) row per novel document.
+
+    ``write_unique`` is AT-LEAST-ONCE: it runs before the store upsert,
+    so an epoch that dies between the two writes re-forwards its novel
+    rows on replay (idempotent only once the upsert has committed — see
+    the module docstring for why this order is the safe one). Make the
+    downstream writer keyed-idempotent on ``id_col`` when exactly-once
+    delivery matters."""
     if store.key != "fingerprint":
         raise ValueError(
             f"dedup store must be keyed on 'fingerprint', got {store.key!r}"
@@ -76,7 +93,7 @@ def dedup_writer(
             else:
                 novel_ids = incremental_dedup(
                     firsts, corpus, id_col=id_col, text_col=text_col,
-                    corpus_fp_col="fingerprint",
+                    corpus_fp_col="fingerprint", new_fp_col="fingerprint",
                 )
             # join back on the id for the full novel rows (batch-scale)
             novel = firsts.join(
@@ -121,10 +138,14 @@ def near_dedup_writer(
 
     Per-epoch cost: one batch-scale shingle/signature pass, one keyed
     anti-join of n_bands keys/doc against the bucketed store, one
-    upsert of the kept docs' keys. Replay-safe in the same way as
-    ``dedup_writer``: ``write_unique`` runs before the store upsert,
-    and a fully-replayed epoch finds its own keys in the store and
-    forwards nothing twice."""
+    upsert of the kept docs' keys. Same replay contract as
+    ``dedup_writer`` — ``write_unique`` is AT-LEAST-ONCE (an epoch dying
+    between the forward and the store upsert re-forwards on replay;
+    once the upsert commits, a replayed epoch's keys hit the store and
+    nothing forwards twice) — with one extra caveat: documents too
+    short to shingle store NO band keys, so they re-forward on EVERY
+    replay of their epoch even after the upsert commits. Keyed-idempotent
+    downstream writers absorb both windows."""
     if store.key != "band_key":
         raise ValueError(
             f"near-dup store must be keyed on 'band_key', got {store.key!r}"

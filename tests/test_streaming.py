@@ -1010,3 +1010,116 @@ def test_streaming_near_dedup_gate_minhash_bands(spark, tmp_path):
     # store holds band keys only for forwarded, shingle-able docs
     owners = {r.first_doc_id for r in store.read(spark).collect()}
     assert owners == {"a1", "b1", "c2"}
+
+
+class _CrashOnceSink(KeyedUpsertSink):
+    """KeyedUpsertSink whose FIRST upsert_batch dies before writing —
+    simulating an epoch killed between write_unique and the store
+    upsert (the documented at-least-once crash window)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.crashed = False
+
+    def upsert_batch(self, batch_df, epoch_id):
+        if not self.crashed:
+            self.crashed = True
+            raise RuntimeError("simulated epoch death before store upsert")
+        super().upsert_batch(batch_df, epoch_id)
+
+
+def _crash_window_replay(spark, tmp_path, make_writer, store):
+    """Drive a gate's foreachBatch function through the crash window:
+    epoch 0 forwards then dies before the store upsert; epoch 0 replays
+    to completion; epoch 0 replays once more (post-commit). Returns the
+    raw forwarded log and the keyed-idempotent downstream view."""
+    forwarded_log = tmp_path / "forwarded_log"
+    downstream = KeyedUpsertSink(str(tmp_path / "downstream"), key="doc_id")
+
+    def write_unique(batch, epoch_id):
+        batch.write.mode("append").parquet(str(forwarded_log))
+        downstream.upsert_batch(batch.select("doc_id", "text"), epoch_id)
+
+    writer = make_writer(store, write_unique)
+    batch = spark.createDataFrame(
+        [
+            ("d1", "the quick brown fox jumps over the lazy dog while "
+                   "seventeen sparrows watch from the old oak tree at dawn"),
+            ("d2", "completely different subject matter about distributed "
+                   "query engines shuffling columnar batches across threads"),
+        ],
+        "doc_id string, text string",
+    )
+    with pytest.raises(RuntimeError, match="simulated epoch death"):
+        writer(batch, 0)  # crash BETWEEN write_unique and store upsert
+    writer(batch, 0)  # replay to completion (store upsert commits)
+    writer(batch, 0)  # replay again AFTER the commit
+
+    log = [r.doc_id for r in spark.read.parquet(str(forwarded_log)).collect()]
+    final = {r.doc_id: r.text for r in downstream.read(spark).collect()}
+    return log, final
+
+
+def test_dedup_gate_crash_window_at_least_once(spark, tmp_path):
+    """Exact gate crash window: a death between write_unique and the
+    store upsert re-forwards the epoch's novel rows on replay (the
+    documented at-least-once contract), a keyed-idempotent downstream
+    sink absorbs the duplicates, and once the upsert has committed a
+    further replay forwards NOTHING."""
+    from etl_seattle_call_data_spark.streaming.dedup_gate import dedup_writer
+
+    store = _CrashOnceSink(str(tmp_path / "fp_store"), key="fingerprint")
+    log, final = _crash_window_replay(spark, tmp_path, dedup_writer, store)
+
+    # at-least-once: both docs forwarded exactly twice (crash + replay),
+    # zero times on the post-commit replay
+    assert sorted(log) == ["d1", "d1", "d2", "d2"]
+    # keyed-idempotent downstream sees each doc once
+    assert set(final) == {"d1", "d2"}
+    # store committed each fingerprint once
+    assert {r.first_doc_id for r in store.read(spark).collect()} == {"d1", "d2"}
+
+
+def test_near_dedup_gate_crash_window_at_least_once(spark, tmp_path):
+    """Near-dup gate crash window: same at-least-once contract as the
+    exact gate — replay after the simulated death re-forwards, replay
+    after the band-key upsert commits forwards nothing (both test docs
+    are long enough to shingle, so no keyless-doc caveat here)."""
+    from etl_seattle_call_data_spark.streaming.dedup_gate import near_dedup_writer
+
+    store = _CrashOnceSink(str(tmp_path / "band_store"), key="band_key")
+    log, final = _crash_window_replay(
+        spark, tmp_path, near_dedup_writer, store
+    )
+
+    assert sorted(log) == ["d1", "d1", "d2", "d2"]
+    assert set(final) == {"d1", "d2"}
+    assert {r.first_doc_id for r in store.read(spark).collect()} == {"d1", "d2"}
+
+
+def test_near_dedup_gate_keyless_docs_reforward_on_replay(spark, tmp_path):
+    """The near-dup gate's documented keyless caveat: a doc too short to
+    shingle stores no band keys, so EVERY replay of its epoch forwards
+    it again even after the store upsert has committed — the downstream
+    writer's key is what dedups it."""
+    from etl_seattle_call_data_spark.streaming.dedup_gate import near_dedup_writer
+
+    store = KeyedUpsertSink(str(tmp_path / "band_store"), key="band_key")
+    forwarded_log = tmp_path / "forwarded_log"
+    downstream = KeyedUpsertSink(str(tmp_path / "downstream"), key="doc_id")
+
+    def write_unique(batch, epoch_id):
+        batch.write.mode("append").parquet(str(forwarded_log))
+        downstream.upsert_batch(batch.select("doc_id", "text"), epoch_id)
+
+    writer = near_dedup_writer(store, write_unique)
+    batch = spark.createDataFrame(
+        [("s1", "tiny doc")], "doc_id string, text string"
+    )
+    writer(batch, 0)
+    writer(batch, 0)  # full replay: keyless doc re-forwards by design
+
+    log = [r.doc_id for r in spark.read.parquet(str(forwarded_log)).collect()]
+    assert log == ["s1", "s1"]
+    assert {r.doc_id for r in downstream.read(spark).collect()} == {"s1"}
+    assert store.read(spark) is None or store.read(spark).count() == 0
