@@ -81,22 +81,21 @@ _EDIT_MAX_DIST = 60
     """,
 )
 def q_dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_seattle_call_data_spark.operators.text import canonical_text, tokens
+    from etl_seattle_call_data_spark.operators.dedup import shingle_sets
+    from etl_seattle_call_data_spark.operators.text import canonical_text
+    from etl_seattle_call_data_spark.operators.util import cache_swap
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         canonical_text(F.col("text")).alias("canon"),
-        tokens(F.col("text")).alias("t"),
     )
-    grams = F.when(
-        F.size(F.col("t")) >= 3,
-        F.expr(
-            "transform(sequence(0, size(t) - 3),"
-            " i -> array_join(slice(t, i + 1, 3), ' '))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = toks.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+    # Same (doc_id, 3-gram shingle) table the whole dedup family shares
+    # ("doc_shingles" — jaccard/minhash/containment): one tokenize+
+    # explode+distinct per corpus per session instead of a private
+    # rebuild feeding this query's THREE consumers (df cap + both join
+    # sides).
+    sh = cache_swap("doc_shingles", shingle_sets(docs))
     keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _EDIT_MAX_DF
     )
@@ -111,8 +110,12 @@ def q_dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _EDIT_MIN_SHARED)
         .select("id_a", "id_b")
     )
-    ta = toks.select(F.col("doc_id").alias("id_a"), F.substring("canon", 1, _EDIT_PREFIX).alias("pa"))
-    tb = toks.select(F.col("doc_id").alias("id_b"), F.substring("canon", 1, _EDIT_PREFIX).alias("pb"))
+    prefixes = cache_swap(
+        "edit_prefixes",
+        toks.select("doc_id", F.substring("canon", 1, _EDIT_PREFIX).alias("pfx")),
+    )
+    ta = prefixes.select(F.col("doc_id").alias("id_a"), F.col("pfx").alias("pa"))
+    tb = prefixes.select(F.col("doc_id").alias("id_b"), F.col("pfx").alias("pb"))
     dist = F.levenshtein(F.col("pa"), F.col("pb"))
     return (
         cand.join(ta, "id_a")

@@ -615,25 +615,34 @@ _SSR_MIN_RUN = 16  # report pairs sharing a run of >= this many tokens
 )
 def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_seattle_call_data_spark.operators import text as text_ops
+    from etl_seattle_call_data_spark.operators.util import cache_swap
 
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", text_ops.tokens("text").alias("t")
     ).filter(F.size("t") >= _SSR_W)
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(t) - {_SSR_W}), i -> "
-                f"named_struct('pos', i, 'gram', array_join(slice(t, i + 1, {_SSR_W}), ' ')))"
-            )
-        ).alias("s"),
-    ).select(
-        "doc_id",
-        F.col("s.pos").alias("pos"),
-        F.conv(F.substring(F.md5(F.col("s.gram")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+    # The positional shingle-hash table feeds THREE consumers (the df
+    # cap + both sides of the pair join) — persist it once per corpus
+    # per session or the tokenize+explode+md5 prefix executes per
+    # branch. Positional (pos, hash) rows are this query's own shape;
+    # the set-semantics "doc_shingles" cache can't serve it.
+    sh = cache_swap(
+        "ssr_pos_shingles",
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {_SSR_W}), i -> "
+                    f"named_struct('pos', i, 'gram', array_join(slice(t, i + 1, {_SSR_W}), ' ')))"
+                )
+            ).alias("s"),
+        ).select(
+            "doc_id",
+            F.col("s.pos").alias("pos"),
+            F.conv(F.substring(F.md5(F.col("s.gram")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        ),
     )
     okh = (
         sh.groupBy("h")

@@ -825,13 +825,24 @@ def q_label_propagation_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    from etl_seattle_call_data_spark.operators.util import cache_memo
+
+    # The bipartite edge list feeds THREE consumers (a1's groupBy, h1's
+    # join, a2's join) — without a persist the lineitem⋈orders⋈distinct
+    # prefix executes once per branch. Memoized like the copurchase
+    # edge cache (plans/shared.py): build once per corpus per session.
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+            )
+            .distinct()
+        )
+
+    edges = cache_memo("hits:edges", ("hits:edges", sf_dir), build)
     a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     h1 = (
         edges.join(a1, "p")
