@@ -405,17 +405,24 @@ _LP_TOPK = 20
 def q_link_prediction_resource_alloc(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
+    from etl_seattle_call_data_spark.plans.shared import (
+        memo_copurchase_edges,
+        memo_copurchase_pairs,
+    )
 
     edges = (
         memo_copurchase_pairs(spark, sf_dir)
         .filter(F.col("n_ab") >= _LP_MIN_COOCCUR)
         .select("part_a", "part_b")
     )
-    adj = edges.select(
-        F.col("part_a").alias("node"), F.col("part_b").alias("nbr")
-    ).unionAll(
-        edges.select(F.col("part_b").alias("node"), F.col("part_a").alias("nbr"))
+    # adjacency from the session-shared src-partitioned mirrored edge
+    # cache (three consumers below: deg / a1 / a2) — each reference
+    # scans the persisted frame instead of re-unioning the pair table,
+    # and groupBy(node=src) satisfies its distribution from the cache
+    adj = (
+        memo_copurchase_edges(spark, sf_dir)
+        .filter(F.col("n_ab") >= _LP_MIN_COOCCUR)
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a1 = adj.select(F.col("node"), F.col("nbr").alias("u"))

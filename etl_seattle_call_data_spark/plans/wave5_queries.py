@@ -1761,12 +1761,16 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Degree assortativity of the co-purchase graph — the Pearson "
     "correlation of endpoint degrees over all (mirrored) edges, the "
     "graph-science number that says whether hubs attach to hubs "
-    "(assortative, r>0) or to leaves (disassortative, r<0). Degrees "
-    "broadcast onto the edge stream (two dim-table joins), the five "
-    "moments accumulate as exact DECIMAL(38,0) in one aggregate, and "
-    "the final r is the single-pass correlation formula — one IEEE "
-    "division of identical integers (same contract as "
-    "corr_matrix_lineitem).",
+    "(assortative, r>0) or to leaves (disassortative, r<0). Starts "
+    "from the session-shared src-partitioned edge cache "
+    "(plans/shared.memo_copurchase_edges) like the rest of the graph "
+    "family, so the degree groupBy(src) and the src-side join satisfy "
+    "their distribution straight from the cache — zero fact-scale "
+    "edge shuffles; the node-scale degree table broadcasts onto the "
+    "dst side. The five moments accumulate as exact DECIMAL(38,0) in "
+    "one aggregate, and the final r is the single-pass correlation "
+    "formula — one IEEE division of identical integers (same contract "
+    "as corr_matrix_lineitem).",
     """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     prs AS (
@@ -1803,14 +1807,9 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_edges
 
-    prs = memo_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
-    edges = prs.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
-    ).unionByName(
-        prs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    )
+    edges = memo_copurchase_edges(spark, sf_dir).select("src", "dst")
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )

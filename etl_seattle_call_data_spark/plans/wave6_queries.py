@@ -878,8 +878,10 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     "community-detection job needs as its objective/stopping metric. "
     "Edges come from the memoized basket pair table (one bounded "
     "self-join per session, shared with the PageRank/triangle family); "
-    "the per-community rollup is |brands| rows; degree is an unpivoted "
-    "endpoint count — no per-node state on the driver.",
+    "ONE fact-scale pass rolls the brand-labeled edges up to a "
+    "persisted |brands|² pair table, from which m, intra, and the "
+    "unpivoted endpoint degrees all derive — no per-node state on the "
+    "driver.",
     """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     edges AS (
@@ -911,27 +913,36 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_seattle_call_data_spark.operators.util import cache_swap
     from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
 
     edges = memo_copurchase_pairs(spark, sf_dir).select(
         F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     lab = (
         edges.join(part.select(F.col("p_partkey").alias("pa"), F.col("p_brand").alias("ba")), "pa")
         .join(part.select(F.col("p_partkey").alias("pb"), F.col("p_brand").alias("bb")), "pb")
     )
+    # one fact-scale pass: roll the labeled edge stream up to brand-pair
+    # counts (bounded by |brands|² ≈ 625 rows), persisted because m /
+    # intra / degree below are four plan references — without the swap
+    # each would re-scan the labeled edges
+    bp = cache_swap(
+        "modularity_brand_pairs",
+        lab.groupBy("ba", "bb").agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+    )
+    m = bp.agg(F.sum("n").cast("bigint").alias("m"))
     intra = (
-        lab.filter(F.col("ba") == F.col("bb"))
+        bp.filter(F.col("ba") == F.col("bb"))
         .groupBy(F.col("ba").alias("brand"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+        .agg(F.sum("n").cast("bigint").alias("intra_edges"))
     )
     deg = (
-        lab.select(F.col("ba").alias("brand"))
-        .unionAll(lab.select(F.col("bb").alias("brand")))
+        bp.select(F.col("ba").alias("brand"), "n")
+        .unionAll(bp.select(F.col("bb").alias("brand"), "n"))
         .groupBy("brand")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .agg(F.sum("n").cast("bigint").alias("degree"))
     )
     out = (
         deg.join(intra, "brand", "left")

@@ -224,11 +224,14 @@ def q_ipw_sample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_local_clustering_top_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_pairs
+    from etl_seattle_call_data_spark.plans.shared import memo_copurchase_edges
 
-    pairs = memo_copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
-    edges = pairs.selectExpr("part_a AS u", "part_b AS v").unionByName(
-        pairs.selectExpr("part_b AS u", "part_a AS v")
+    # mirrored adjacency straight off the session-shared src-partitioned
+    # edge cache: both consumers below (top-degree probes + neighbor
+    # probe table) re-derive from it, and the collect_list groupBy needs
+    # no Exchange because the cache is already hash-partitioned on src
+    edges = memo_copurchase_edges(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     adj = edges.groupBy(F.col("u").alias("node")).agg(
         F.sort_array(F.collect_list("v")).alias("nbrs"),
