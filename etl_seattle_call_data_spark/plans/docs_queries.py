@@ -1453,20 +1453,51 @@ def _lsh_recall_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
     _lsh_recall_oracle(),
 )
 def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_seattle_call_data_spark.operators import dq
     from etl_seattle_call_data_spark.operators.util import cache_swap
 
     docs = load_table(spark, sf_dir, "documents")
     sh = cache_swap("doc_shingles", dedup.shingle_sets(docs))
     cand = cache_swap("lsh_candidates", dedup.minhash_band_candidates(sh))
-    exact = dedup.jaccard_pairs(docs, threshold=0.5, shingles=sh).select(
-        "id_a", "id_b"
+    # Persist the exact ground truth: it feeds BOTH the true-positive
+    # match and the n_exact tally, and the uncapped shared-shingle
+    # self-join behind it is the single most expensive subtree in the
+    # query — un-persisted, Catalyst evaluates it once per consuming
+    # branch. Both sides are distinct pair sets, so the three counts
+    # collapse into ONE full-outer join + aggregate pass (pair-key
+    # shuffle of two already-reduced pair sets) instead of three
+    # scalar-subquery jobs each re-walking its input.
+    exact = cache_swap(
+        "jaccard_exact_t05",
+        dedup.jaccard_pairs(docs, threshold=0.5, shingles=sh).select(
+            "id_a", "id_b"
+        ),
     )
-    tp = cand.join(exact, ["id_a", "id_b"], "left_semi")
-    ne = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-    nt = tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_positive"))
-    return dq.scalar_join(ne, nc, nt).select(
+    e = exact.withColumn("in_exact", F.lit(1))
+    c = cand.withColumn("in_cand", F.lit(1))
+    tallies = (
+        e.join(c, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("in_exact"), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.coalesce(F.sum("in_cand"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("in_exact").isNotNull()
+                        & F.col("in_cand").isNotNull(),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_true_positive"),
+        )
+    )
+    return tallies.select(
         "n_exact",
         "n_candidates",
         "n_true_positive",
