@@ -560,21 +560,36 @@ def containment_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     joined = inter.join(sa, "id_a").join(sb, "id_b")
-    ab = joined.select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        (F.col("n_inter").cast("double") / F.col("size_a").cast("double")).alias(
-            "containment"
-        ),
+    # Emit both directions from ONE pass: a union of two projections of
+    # `joined` would make Catalyst evaluate the candidate join + both
+    # size joins once per branch (the multi-consumer-subtree hazard
+    # jaccard_pairs documents). An in-row array-of-structs explode is a
+    # 2x narrow fan-out with no second walk and nothing to persist.
+    directed = F.explode(
+        F.array(
+            F.struct(
+                F.col("id_a").alias("contained_id"),
+                F.col("id_b").alias("container_id"),
+                (
+                    F.col("n_inter").cast("double")
+                    / F.col("size_a").cast("double")
+                ).alias("containment"),
+            ),
+            F.struct(
+                F.col("id_b").alias("contained_id"),
+                F.col("id_a").alias("container_id"),
+                (
+                    F.col("n_inter").cast("double")
+                    / F.col("size_b").cast("double")
+                ).alias("containment"),
+            ),
+        )
+    ).alias("d")
+    return (
+        joined.select(directed)
+        .select("d.*")
+        .filter(F.col("containment") >= threshold)
     )
-    ba = joined.select(
-        F.col("id_b").alias("contained_id"),
-        F.col("id_a").alias("container_id"),
-        (F.col("n_inter").cast("double") / F.col("size_b").cast("double")).alias(
-            "containment"
-        ),
-    )
-    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
 def contamination_overlap(

@@ -89,9 +89,21 @@ def two_phase_rank(
     Scale: one shuffle on the coarse bucket for the local sort, one
     bounded driver collect of #buckets (cb, count) pairs, one broadcast
     join of the offsets. No Exchange SinglePartition anywhere.
+
+    The bucketed input is localCheckpoint'ed (lazily): the offsets
+    collect below must evaluate the full upstream anyway, and without a
+    materialization the downstream rank join would evaluate it a SECOND
+    time — chained passes (rfm_segments runs three) would pay O(k²)
+    upstream walks. Checkpoint (not CacheManager persist) for the same
+    reason corpus_pipeline documents: chained persists form
+    cache-on-cache entries that Spark 4.1's lazy AQE cache
+    materialization can rebuild off-session (NPE at sf1); blocks free
+    via ContextCleaner when the caller drops the frame.
     """
     spark = df.sparkSession
-    bucketed = df.withColumn("__cb", _guarded_bucket(coarse))
+    bucketed = df.withColumn("__cb", _guarded_bucket(coarse)).localCheckpoint(
+        eager=False
+    )
     counts = sorted(
         (r["__cb"], r["n"])
         for r in bucketed.groupBy("__cb").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -163,9 +175,13 @@ def two_phase_rank_in_groups(
     own rows. ``coarse`` must be order-aligned with the leading
     ``order_by`` column and non-null.
     """
+    # lazy localCheckpoint: ``bucketed`` feeds BOTH the counts branch
+    # and the rank-join probe side of one plan — un-materialized,
+    # Catalyst evaluates the upstream once per branch (see
+    # two_phase_rank's docstring for the checkpoint-vs-persist choice).
     bucketed = _guard_group_cols(df, group_cols).withColumn(
         "__cb", _guarded_bucket(coarse)
-    )
+    ).localCheckpoint(eager=False)
     counts = bucketed.groupBy(*group_cols, "__cb").agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -209,9 +225,11 @@ def two_phase_cumsum_in_groups(
     the leading ``order_by`` column and non-null; ``weight`` must be
     non-null.
     """
+    # lazy localCheckpoint: same two-consumer shape as
+    # two_phase_rank_in_groups (totals branch + cumsum-join probe).
     bucketed = _guard_group_cols(df, group_cols).withColumn(
         "__cb", _guarded_bucket(coarse)
-    ).withColumn("__w", weight.cast("long"))
+    ).withColumn("__w", weight.cast("long")).localCheckpoint(eager=False)
     totals = bucketed.groupBy(*group_cols, "__cb").agg(
         F.sum("__w").alias("__bw")
     )
@@ -267,8 +285,13 @@ def two_phase_running_max(
     single-partition oracle window.
     """
     spark = df.sparkSession
-    bucketed = df.withColumn("__cb", _guarded_bucket(coarse)).withColumn(
-        "__v", value.cast("long")
+    # lazy localCheckpoint: the maxima collect below walks the full
+    # upstream; without it the phase-2 window join walks it again (see
+    # two_phase_rank's docstring).
+    bucketed = (
+        df.withColumn("__cb", _guarded_bucket(coarse))
+        .withColumn("__v", value.cast("long"))
+        .localCheckpoint(eager=False)
     )
     maxima = sorted(
         (r["__cb"], r["m"])

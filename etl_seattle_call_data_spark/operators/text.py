@@ -197,12 +197,21 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col:
     N comes from a broadcast scalar aggregate, not a driver action."""
     from pyspark.sql.window import Window
 
+    from etl_seattle_call_data_spark.operators.util import cache_swap
     from etl_seattle_call_data_spark.operators.util import spread as _spread
 
     term_rows = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregation and the final scored join:
+    # persist it or the tokenize+explode+count pass runs once per
+    # consumer (the multi-consumer-subtree hazard dedup.jaccard_pairs
+    # documents). Already-reduced (doc, term) grain — same scale class
+    # as the persisted shingle tables.
+    tf = cache_swap(
+        "tfidf_tf",
+        term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")),
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n"))
     score = (F.col("tf") * F.col("n")).cast("double") / F.col("df").cast("double")

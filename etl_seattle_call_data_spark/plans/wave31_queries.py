@@ -118,7 +118,6 @@ def q_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
         F.sum("rev").cast("bigint").alias("rev"),
     )
-    tot = p.agg(F.sum("rev").cast("bigint").alias("rev_t"))
     # global (rev DESC, pk) prefix sum without a single-partition sort:
     # order by the negated key so the coarse bucket stays order-aligned
     cum = two_phase_cumsum_in_groups(
@@ -129,6 +128,12 @@ def q_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight=F.col("rev"),
         cum_name="crev",
     )
+    # total revenue = the final value of the inclusive running sum —
+    # reading it off ``cum`` (whose bucketed input the two-phase helper
+    # checkpoints) costs one window pass over materialized blocks; a
+    # separate p.agg() branch would re-run the fact-scale lineitem
+    # rollup a second time.
+    tot = cum.agg(F.max("crev").cast("bigint").alias("rev_t"))
     cv2 = (
         "(CAST(n_weeks AS DECIMAL(38,0)) * sqq"
         " - CAST(sq AS DECIMAL(38,0)) * sq) * 1000000"

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_seattle_call_data_spark.operators import dq, text
-from etl_seattle_call_data_spark.operators.util import spread
+from etl_seattle_call_data_spark.operators.util import cache_swap, spread
 from etl_seattle_call_data_spark.plans.docs_queries import _DUCK_COS, _DUCK_Q, _DUCK_TOKENS
 from etl_seattle_call_data_spark.plans.queries import register
 from etl_seattle_call_data_spark.sources.registry import load_table
@@ -1949,6 +1949,11 @@ def q_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "p")
         .agg(F.min("ph").alias("mh"))
     )
+    # the signature frame feeds BOTH arms of its own self-join: persist
+    # it or the 16x permutation explode + md5 pass runs once per arm
+    # (the multi-consumer-subtree hazard dedup.jaccard_pairs documents).
+    # Tiny frame — |sources| x perms rows.
+    sig = cache_swap("srcmh:sig", sig)
     a = sig.select(F.col("source").alias("src_a"), "p", F.col("mh").alias("mha"))
     b = sig.select(F.col("source").alias("src_b"), "p", F.col("mh").alias("mhb"))
     est = (
