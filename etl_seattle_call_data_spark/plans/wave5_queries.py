@@ -199,6 +199,12 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # NOTE: tp feeds two plan branches (probe fan-out + join arm), but
+    # deliberately stays un-persisted — the subtree is a cheap
+    # scan+split+posexplode that pipelines into each consumer's shuffle
+    # write, and a persist barrier measured SLOWER at both sf0.1 and
+    # sf1 (the materialization costs more than the re-tokenize; the
+    # (doc_id, ppos) join shuffle dominates either way).
     tp = docs.select(
         "doc_id", F.posexplode(text.tokens(F.col("text"))).alias("pos", "tok")
     )
