@@ -92,6 +92,12 @@ def main() -> None:
         if done and done % 40 == 0:
             clear_caches()
             spark.catalog.clearCache()
+            # checkpoint RDD blocks (two-phase helpers) are NOT
+            # CacheManager entries — they free via ContextCleaner only
+            # after the driver GCs the dropped frames; force that here
+            import gc
+
+            gc.collect()
         done += 1
         best, n = None, 0
         for _ in range(2):
@@ -115,6 +121,9 @@ def main() -> None:
     if names_flagged:
         clear_caches()
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
         for name in names_flagged:
             for _ in range(2):
                 t0 = time.perf_counter()

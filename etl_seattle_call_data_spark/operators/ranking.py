@@ -73,11 +73,33 @@ def _guard_group_cols(df: DataFrame, group_cols: list[str]) -> DataFrame:
     return out
 
 
+def _bucketed_checkpoint(df: DataFrame, materialize: bool) -> DataFrame:
+    """Shared materialization point of the four two-phase helpers.
+
+    ``materialize=True`` (default) lazily localCheckpoints the bucketed
+    frame: every helper consumes it from 2+ plan branches (a counts /
+    totals / maxima branch plus the rank/cumsum join probe), and
+    Catalyst re-evaluates an un-materialized subtree once per branch.
+    Callers whose upstream is a CHEAP scan/projection can pass
+    ``materialize=False`` — pipelining a cheap scan into each consumer's
+    shuffle write beats paying the checkpoint barrier (the measured
+    skipgram counter-example, CLAUDE.md).
+
+    Lifecycle note: checkpoint RDD blocks are NOT released by
+    ``spark.catalog.clearCache()``-style eviction (they are not
+    CacheManager entries) — they free via ContextCleaner when the driver
+    GCs the dropped frame, so long sessions rely on timely Python GC of
+    the returned DataFrames (bench.py's periodic ``gc.collect()`` exists
+    for exactly this)."""
+    return df.localCheckpoint(eager=False) if materialize else df
+
+
 def two_phase_rank(
     df: DataFrame,
     order_by: list[str],
     coarse: Column,
     rank_name: str = "global_rank",
+    materialize: bool = True,
 ) -> tuple[DataFrame, int]:
     """Exact 1-based global rank of ``df`` in ``order_by`` order.
 
@@ -98,11 +120,13 @@ def two_phase_rank(
     reason corpus_pipeline documents: chained persists form
     cache-on-cache entries that Spark 4.1's lazy AQE cache
     materialization can rebuild off-session (NPE at sf1); blocks free
-    via ContextCleaner when the caller drops the frame.
+    via ContextCleaner when the caller drops the frame. Pass
+    ``materialize=False`` when the upstream is a cheap scan (see
+    ``_bucketed_checkpoint``).
     """
     spark = df.sparkSession
-    bucketed = df.withColumn("__cb", _guarded_bucket(coarse)).localCheckpoint(
-        eager=False
+    bucketed = _bucketed_checkpoint(
+        df.withColumn("__cb", _guarded_bucket(coarse)), materialize
     )
     counts = sorted(
         (r["__cb"], r["n"])
@@ -159,6 +183,7 @@ def two_phase_rank_in_groups(
     order_by: list[str],
     coarse: Column,
     rank_name: str = "group_rank",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact 1-based rank WITHIN each group, without ranking any group
     on a single task — the grouped form of ``two_phase_rank`` for when
@@ -179,9 +204,12 @@ def two_phase_rank_in_groups(
     # and the rank-join probe side of one plan — un-materialized,
     # Catalyst evaluates the upstream once per branch (see
     # two_phase_rank's docstring for the checkpoint-vs-persist choice).
-    bucketed = _guard_group_cols(df, group_cols).withColumn(
-        "__cb", _guarded_bucket(coarse)
-    ).localCheckpoint(eager=False)
+    bucketed = _bucketed_checkpoint(
+        _guard_group_cols(df, group_cols).withColumn(
+            "__cb", _guarded_bucket(coarse)
+        ),
+        materialize,
+    )
     counts = bucketed.groupBy(*group_cols, "__cb").agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -213,6 +241,7 @@ def two_phase_cumsum_in_groups(
     coarse: Column,
     weight: Column,
     cum_name: str = "cumw",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact INCLUSIVE running sum of ``weight`` in ``order_by`` order
     within each group, without serializing any group through one task —
@@ -227,9 +256,12 @@ def two_phase_cumsum_in_groups(
     """
     # lazy localCheckpoint: same two-consumer shape as
     # two_phase_rank_in_groups (totals branch + cumsum-join probe).
-    bucketed = _guard_group_cols(df, group_cols).withColumn(
-        "__cb", _guarded_bucket(coarse)
-    ).withColumn("__w", weight.cast("long")).localCheckpoint(eager=False)
+    bucketed = _bucketed_checkpoint(
+        _guard_group_cols(df, group_cols)
+        .withColumn("__cb", _guarded_bucket(coarse))
+        .withColumn("__w", weight.cast("long")),
+        materialize,
+    )
     totals = bucketed.groupBy(*group_cols, "__cb").agg(
         F.sum("__w").alias("__bw")
     )
@@ -263,6 +295,7 @@ def two_phase_running_max(
     value: Column,
     out_name: str = "runmax",
     exclusive: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact running MAX of ``value`` in global ``order_by`` order
     without a single-partition window — the max-monoid sibling of
@@ -288,10 +321,11 @@ def two_phase_running_max(
     # lazy localCheckpoint: the maxima collect below walks the full
     # upstream; without it the phase-2 window join walks it again (see
     # two_phase_rank's docstring).
-    bucketed = (
-        df.withColumn("__cb", _guarded_bucket(coarse))
-        .withColumn("__v", value.cast("long"))
-        .localCheckpoint(eager=False)
+    bucketed = _bucketed_checkpoint(
+        df.withColumn("__cb", _guarded_bucket(coarse)).withColumn(
+            "__v", value.cast("long")
+        ),
+        materialize,
     )
     maxima = sorted(
         (r["__cb"], r["m"])

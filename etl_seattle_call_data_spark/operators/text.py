@@ -207,9 +207,11 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col:
     # persist it or the tokenize+explode+count pass runs once per
     # consumer (the multi-consumer-subtree hazard dedup.jaccard_pairs
     # documents). Already-reduced (doc, term) grain — same scale class
-    # as the persisted shingle tables.
+    # as the persisted shingle tables. Key carries the column identity
+    # (cache_swap key-hygiene rule): alternating callers on different
+    # frames/columns should churn different slots, not evict each other.
     tf = cache_swap(
-        "tfidf_tf",
+        f"tfidf_tf:{id_col}:{text_col}",
         term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -132,7 +132,11 @@ def q_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reading it off ``cum`` (whose bucketed input the two-phase helper
     # checkpoints) costs one window pass over materialized blocks; a
     # separate p.agg() branch would re-run the fact-scale lineitem
-    # rollup a second time.
+    # rollup a second time. NOTE: max(crev) equals the FINAL prefix sum
+    # only because the summed weight (rev, a sum of non-negative
+    # rounded prices) is non-negative, so the running sum is monotone.
+    # With signed weights take the row at the max rank / last coarse
+    # bucket instead — do not copy this max() shortcut to signed data.
     tot = cum.agg(F.max("crev").cast("bigint").alias("rev_t"))
     cv2 = (
         "(CAST(n_weeks AS DECIMAL(38,0)) * sqq"

@@ -188,8 +188,12 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hashed-bigram stream feeds BOTH the bucket-rate aggregation
     # and the per-doc scoring join: persist it or the tokenize + bigram
     # explode + md5 pass runs once per consumer (the multi-consumer-
-    # subtree hazard — CLAUDE.md convention; 10.6s -> ~6s at sf1)
-    big = cache_swap("dsir_bigrams", big)
+    # subtree hazard — CLAUDE.md convention; measured at sf1: 10.6 s
+    # un-persisted -> ~6 s first/cold invocation in a fresh session ->
+    # ~1.5 s warm re-run, see docs/SCALING.md). Key carries sf_dir
+    # (cache_swap key hygiene): alternating SF dirs churn separate
+    # slots instead of evicting each other.
+    big = cache_swap(f"dsir_bigrams:{sf_dir}", big)
     buckets = big.groupBy("b").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
         .cast("bigint")
