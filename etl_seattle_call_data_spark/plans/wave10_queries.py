@@ -296,14 +296,19 @@ def q_experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_ta AS BIGINT) AS n_treat_post,
            CAST(n_cp AS BIGINT) AS n_ctrl_pre,
            CAST(n_ca AS BIGINT) AS n_ctrl_post,
-           CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) / 100.0 AS mean_treat_pre,
-           CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE) / 100.0 AS mean_treat_post,
-           CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) / 100.0 AS mean_ctrl_pre,
-           CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE) / 100.0 AS mean_ctrl_post,
-           (CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE)
-            - CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE))
-           - (CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE)
-              - CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)) AS did_cents
+           CAST(s_tp AS DOUBLE) / NULLIF(CAST(n_tp AS DOUBLE), 0) / 100.0
+             AS mean_treat_pre,
+           CAST(s_ta AS DOUBLE) / NULLIF(CAST(n_ta AS DOUBLE), 0) / 100.0
+             AS mean_treat_post,
+           CAST(s_cp AS DOUBLE) / NULLIF(CAST(n_cp AS DOUBLE), 0) / 100.0
+             AS mean_ctrl_pre,
+           CAST(s_ca AS DOUBLE) / NULLIF(CAST(n_ca AS DOUBLE), 0) / 100.0
+             AS mean_ctrl_post,
+           (CAST(s_ta AS DOUBLE) / NULLIF(CAST(n_ta AS DOUBLE), 0)
+            - CAST(s_tp AS DOUBLE) / NULLIF(CAST(n_tp AS DOUBLE), 0))
+           - (CAST(s_ca AS DOUBLE) / NULLIF(CAST(n_ca AS DOUBLE), 0)
+              - CAST(s_cp AS DOUBLE) / NULLIF(CAST(n_cp AS DOUBLE), 0))
+             AS did_cents
     FROM cells
     """,
 )
@@ -339,7 +344,10 @@ def q_did_revenue_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell(~t & p, F.col("cents"), "s_ca"),
         cell(~t & p, F.lit(1), "n_ca"),
     )
-    mean = lambda s, n_: F.col(s).cast("double") / F.col(n_).cast("double")  # noqa: E731
+    # NULLIF guard (rule 40): an empty cell zeroes its count
+    mean = lambda s, n_: F.col(s).cast("double") / F.nullif(  # noqa: E731
+        F.col(n_).cast("double"), F.lit(0.0)
+    )
     return cells.select(
         F.col("n_tp").cast("bigint").alias("n_treat_pre"),
         F.col("n_ta").cast("bigint").alias("n_treat_post"),

@@ -182,23 +182,23 @@ def q_classifier_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (
       SELECT event_type, n1, n0, s1, s0,
              CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
-               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1,
+               / NULLIF(CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE), 0) AS v1,
              CAST(n0 * ss0 - s0 * s0 AS DOUBLE)
-               / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) AS v0
+               / NULLIF(CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE), 0) AS v0
       FROM mom
     )
     SELECT event_type,
            CAST(n1 AS BIGINT) AS n_arm_a,
            CAST(n0 AS BIGINT) AS n_arm_b,
-           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_a,
-           CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_b,
+           CAST(s1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0) AS mean_a,
+           CAST(s0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0) AS mean_b,
            CASE WHEN v1 + v0 = 0.0 THEN 0.0
-                ELSE (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                ELSE (CAST(s1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0)
+                      - CAST(s0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0))
                      / sqrt((v1 + v0) / 2.0) END AS smd,
            CASE WHEN v1 + v0 = 0.0 THEN TRUE
-                ELSE abs((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                          - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                ELSE abs((CAST(s1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0)
+                          - CAST(s0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0))
                          / sqrt((v1 + v0) / 2.0)) < 0.1 END AS balanced
     FROM v
     """,
@@ -236,17 +236,29 @@ def q_covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0",
         "s1",
         "s0",
+        # NULLIF guards (CROSS_ENGINE rule 40): a 0- or 1-user arm
+        # zeroes the variance denominator; ANSI Spark throws on /0
         (
             (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast("double")
-            / (F.col("n1").cast("double") * (F.col("n1") - 1).cast("double"))
+            / F.nullif(
+                F.col("n1").cast("double") * (F.col("n1") - 1).cast("double"),
+                F.lit(0.0),
+            )
         ).alias("v1"),
         (
             (F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0")).cast("double")
-            / (F.col("n0").cast("double") * (F.col("n0") - 1).cast("double"))
+            / F.nullif(
+                F.col("n0").cast("double") * (F.col("n0") - 1).cast("double"),
+                F.lit(0.0),
+            )
         ).alias("v0"),
     )
-    mean_a = F.col("s1").cast("double") / F.col("n1").cast("double")
-    mean_b = F.col("s0").cast("double") / F.col("n0").cast("double")
+    mean_a = F.col("s1").cast("double") / F.nullif(
+        F.col("n1").cast("double"), F.lit(0.0)
+    )
+    mean_b = F.col("s0").cast("double") / F.nullif(
+        F.col("n0").cast("double"), F.lit(0.0)
+    )
     smd = (mean_a - mean_b) / F.sqrt((F.col("v1") + F.col("v0")) / 2.0)
     zero_var = F.col("v1") + F.col("v0") == 0.0
     return v.select(

@@ -99,8 +99,8 @@ def _cents(col: Column) -> Column:
     )
     SELECT flag, n_rows,
            (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
-             / (sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx)
-                * sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy))
+             / NULLIF(sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy), 0)
              AS spearman_rho
     FROM s
     """,
@@ -154,10 +154,12 @@ def q_spearman_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "flag",
         "n_rows",
+        # NULLIF guard (CROSS_ENGINE rule 40): a constant-valued or
+        # 1-row group zeroes a variance term; ANSI Spark throws on /0
         F.expr(
             "(CAST(n_rows AS DOUBLE) * sxy - sx * sy)"
-            " / (sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx)"
-            " * sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy))"
+            " / NULLIF(sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx)"
+            " * sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy), 0)"
         ).alias("spearman_rho"),
     )
 

@@ -72,9 +72,10 @@ from etl_seattle_call_data_spark.sources.registry import load_table
     )
     SELECT n AS n_orders, k AS n_groups,
            ssb AS ss_between, ssw AS ss_within,
-           (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
+           (ssb / NULLIF(CAST(k - 1 AS DOUBLE), 0))
+             / NULLIF(ssw / NULLIF(CAST(n - k AS DOUBLE), 0), 0)
              AS f_stat,
-           ssb / (ssb + ssw) AS eta_squared
+           ssb / NULLIF(ssb + ssw, 0) AS eta_squared
     FROM e
     """,
 )
@@ -110,10 +111,15 @@ def q_anova_oneway_fstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_groups"),
         F.col("ssb").alias("ss_between"),
         F.col("ssw").alias("ss_within"),
+        # NULLIF guards (CROSS_ENGINE rule 40): a 1-group / 1-row input
+        # zeroes k-1, n-k, and ssb+ssw — Spark ANSI throws on ANY /0
+        # (double included) where DuckDB yields NULL, so the guard makes
+        # both engines emit NULL; populated SFs never hit it
         F.expr(
-            "(ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))"
+            "(ssb / NULLIF(CAST(k - 1 AS DOUBLE), 0))"
+            " / NULLIF(ssw / NULLIF(CAST(n - k AS DOUBLE), 0), 0)"
         ).alias("f_stat"),
-        F.expr("ssb / (ssb + ssw)").alias("eta_squared"),
+        F.expr("ssb / NULLIF(ssb + ssw, 0)").alias("eta_squared"),
     )
 
 

@@ -332,7 +332,7 @@ def q_bollinger_breakout_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     ),
     theta AS (
-      SELECT CAST(CAST(s - s_i AS HUGEINT) * 1000000 // (n - n_i)
+      SELECT CAST(CAST(s - s_i AS HUGEINT) * 1000000 // NULLIF(n - n_i, 0)
                   AS BIGINT) AS th
       FROM g CROSS JOIN tot
     ),
@@ -344,7 +344,7 @@ def q_bollinger_breakout_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM theta CROSS JOIN tbar
     )
     SELECT gcnt AS n_groups, n AS n_orders,
-           CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT)
+           CAST(CAST(s AS HUGEINT) * 1000000 // NULLIF(n, 0) AS BIGINT)
              AS mean_micro_dollars,
            (CAST(gcnt AS DOUBLE) - 1.0) / CAST(gcnt AS DOUBLE)
              * {_du('ssd')} / 1e12 AS var_jk_dollars2,
@@ -377,9 +377,11 @@ def q_jackknife_nation_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta = (
         g.crossJoin(F.broadcast(tot))
         .select(
+            # NULLIF guard (CROSS_ENGINE rule 40): a single-group input
+            # zeroes the leave-one-out count n - n_i
             F.expr(
                 "CAST(CAST(s - s_i AS DECIMAL(38,0)) * 1000000"
-                " DIV (n - n_i) AS BIGINT)"
+                " DIV NULLIF(n - n_i, 0) AS BIGINT)"
             ).alias("th")
         )
     )
@@ -399,7 +401,8 @@ def q_jackknife_nation_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gcnt").alias("n_groups"),
         F.col("n").alias("n_orders"),
         F.expr(
-            "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"
+            "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 DIV NULLIF(n, 0)"
+            " AS BIGINT)"
         ).alias("mean_micro_dollars"),
         F.expr(var_expr).alias("var_jk_dollars2"),
         F.expr(f"sqrt({var_expr})").alias("se_jk_dollars"),
@@ -445,11 +448,13 @@ def q_jackknife_nation_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_lines, r AS n_returned,
            (CAST(n AS DOUBLE) * dd * dd)
-             / (CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))
-                * vv) AS chi2_trend,
+             / NULLIF(CAST(r AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))
+                      * vv, 0) AS chi2_trend,
            (CAST(n AS DOUBLE) * dd * dd)
-             / (CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))
-                * vv) > 3.841 AS trend_95
+             / NULLIF(CAST(r AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))
+                      * vv, 0) > 3.841 AS trend_95
     FROM e
     """,
 )
@@ -481,10 +486,12 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("vv"),
     )
+    # NULLIF guard (CROSS_ENGINE rule 40): all-returned / none-returned
+    # / constant-quantity inputs zero the denominator
     chi2 = (
         "(CAST(n AS DOUBLE) * dd * dd)"
-        " / (CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))"
-        " * vv)"
+        " / NULLIF(CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))"
+        " * vv, 0)"
     )
     return e.select(
         F.col("n").alias("n_lines"),
@@ -501,8 +508,11 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-segment SSE from scaled exact moments:
 #   SSE = (Syy_n - Sxy_n^2 / Sxx_n) / n   with  S**_n = n*S** - S*S
 def _sse(seg: str) -> str:
+    # NULLIF guards (CROSS_ENGINE rule 40): an empty/1-day segment zeroes
+    # nn and sxx; shared between the Spark expr and the DuckDB oracle
     return (
-        f"((syy{seg} - sxy{seg} * sxy{seg} / sxx{seg}) / nn{seg})"
+        f"((syy{seg} - sxy{seg} * sxy{seg} / NULLIF(sxx{seg}, 0))"
+        f" / NULLIF(nn{seg}, 0))"
     )
 
 
@@ -563,9 +573,11 @@ def _sse(seg: str) -> str:
            {_sse('p')} AS sse_pooled,
            {_sse('1')} + {_sse('2')} AS sse_split,
            (({_sse('p')} - ({_sse('1')} + {_sse('2')})) / 2.0)
-             / (({_sse('1')} + {_sse('2')}) / (nnp - 4.0)) AS chow_f,
+             / NULLIF(({_sse('1')} + {_sse('2')})
+                      / NULLIF(nnp - 4.0, 0), 0) AS chow_f,
            (({_sse('p')} - ({_sse('1')} + {_sse('2')})) / 2.0)
-             / (({_sse('1')} + {_sse('2')}) / (nnp - 4.0)) > 3.00
+             / NULLIF(({_sse('1')} + {_sse('2')})
+                      / NULLIF(nnp - 4.0, 0), 0) > 3.00
              AS break_95
     FROM e
     """,
@@ -625,7 +637,7 @@ def q_chow_test_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f_expr = (
         f"(({_sse('p')} - ({_sse('1')} + {_sse('2')})) / 2.0)"
-        f" / (({_sse('1')} + {_sse('2')}) / (nnp - 4.0))"
+        f" / NULLIF(({_sse('1')} + {_sse('2')}) / NULLIF(nnp - 4.0, 0), 0)"
     )
     return e.select(
         F.col("n1").alias("n_days_pre"),

@@ -40,7 +40,9 @@ _DAY = "86400000000"
 # DiD placebo test (fake treatment date inside the pre-period)
 # ---------------------------------------------------------------------------
 
-_DP_MEAN = "(CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE))"
+# NULLIF guard (CROSS_ENGINE rule 40): an empty cell zeroes its count;
+# shared template, so the guard covers both engines identically
+_DP_MEAN = "(CAST({s} AS DOUBLE) / NULLIF(CAST({n} AS DOUBLE), 0))"
 
 
 def _did(s_ta, n_ta, s_tp, n_tp, s_ca, n_ca, s_cp, n_cp):
@@ -644,11 +646,11 @@ def q_brand_cannibalization_pairs(
     )
     SELECT nation, n AS n_customers, sx AS n_orders,
            CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
-                * 1000000 // (CAST(sx AS HUGEINT) * (n - 1)) AS BIGINT)
-             AS fano_ppm,
+                * 1000000 // NULLIF(CAST(sx AS HUGEINT) * (n - 1), 0)
+                AS BIGINT) AS fano_ppm,
            CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
-                * 1000000 // (CAST(sx AS HUGEINT) * (n - 1)) AS BIGINT)
-             > 1000000 AS overdispersed
+                * 1000000 // NULLIF(CAST(sx AS HUGEINT) * (n - 1), 0)
+                AS BIGINT) > 1000000 AS overdispersed
     FROM s
     """,
 )
@@ -669,9 +671,11 @@ def q_overdispersion_fano_index(
         F.sum("x").cast("bigint").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
     )
+    # NULLIF guard (rule 40): an order-less nation zeroes sx; a single-
+    # customer nation zeroes n - 1
     fano = (
         "CAST((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0))"
-        " * sx) * 1000000 DIV (CAST(sx AS DECIMAL(38,0)) * (n - 1))"
+        " * sx) * 1000000 DIV NULLIF(CAST(sx AS DECIMAL(38,0)) * (n - 1), 0)"
         " AS BIGINT)"
     )
     return s.select(

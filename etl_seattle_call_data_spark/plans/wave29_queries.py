@@ -43,9 +43,13 @@ _DAY = "86400000000"
 # two-sided alpha=0.05, 5 equally-spaced looks (Pocock/OBF tables)
 _GS_OBF = (4.877, 3.357, 2.680, 2.290, 2.031)
 
+# NULLIF guards (CROSS_ENGINE rule 40): an empty arm zeroes nn1/nn2 and
+# a degenerate pooled rate (0 or 1) zeroes the variance; shared string,
+# so the guard covers the Spark expr and the DuckDB oracle identically
 _GS_Z = (
     "((p1 - p2)"
-    " / sqrt(pb * (1.0 - pb) * (1.0 / nn1 + 1.0 / nn2)))"
+    " / NULLIF(sqrt(pb * (1.0 - pb)"
+    " * (1.0 / NULLIF(nn1, 0) + 1.0 / NULLIF(nn2, 0))), 0))"
 )
 
 
@@ -105,10 +109,10 @@ _GS_Z = (
       SELECT c.look, c.n1, c.n2,
              CAST(ob.critical AS DOUBLE) AS critical,
              CAST(c.n1 AS DOUBLE) AS nn1, CAST(c.n2 AS DOUBLE) AS nn2,
-             CAST(c.r1 AS DOUBLE) / CAST(c.n1 AS DOUBLE) AS p1,
-             CAST(c.r2 AS DOUBLE) / CAST(c.n2 AS DOUBLE) AS p2,
-             CAST(c.r1 + c.r2 AS DOUBLE) / CAST(c.n1 + c.n2 AS DOUBLE)
-               AS pb
+             CAST(c.r1 AS DOUBLE) / NULLIF(CAST(c.n1 AS DOUBLE), 0) AS p1,
+             CAST(c.r2 AS DOUBLE) / NULLIF(CAST(c.n2 AS DOUBLE), 0) AS p2,
+             CAST(c.r1 + c.r2 AS DOUBLE)
+               / NULLIF(CAST(c.n1 + c.n2 AS DOUBLE), 0) AS pb
       FROM cum c JOIN ob ON ob.look = c.look
     )
     SELECT look, n1 AS n_treat, n2 AS n_control, critical,
@@ -179,10 +183,10 @@ def q_group_sequential_obrien_fleming(
         "critical",
         F.col("n1").cast("double").alias("nn1"),
         F.col("n2").cast("double").alias("nn2"),
-        F.expr("CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)").alias("p1"),
-        F.expr("CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE)").alias("p2"),
+        F.expr("CAST(r1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0)").alias("p1"),
+        F.expr("CAST(r2 AS DOUBLE) / NULLIF(CAST(n2 AS DOUBLE), 0)").alias("p2"),
         F.expr(
-            "CAST(r1 + r2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)"
+            "CAST(r1 + r2 AS DOUBLE) / NULLIF(CAST(n1 + n2 AS DOUBLE), 0)"
         ).alias("pb"),
     )
     return e.select(
@@ -243,7 +247,7 @@ _RS_RANKS = (1, 2, 3, 4)  # candidate pairs at ranks k*n/10 vs n+1-k*n/10
     ),
     scored AS (
       SELECT c.k, c.x1, c.x2,
-             (c.y2 - c.y1) * 1000000 // (c.x2 - c.x1) AS slope_ppm,
+             (c.y2 - c.y1) * 1000000 // NULLIF(c.x2 - c.x1, 0) AS slope_ppm,
              CAST(SUM(CASE WHEN
                abs((d.y - c.y1) * (c.x2 - c.x1)
                    - (c.y2 - c.y1) * (d.x - c.x1))
@@ -331,7 +335,8 @@ def q_ransac_line_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
         )
         .withColumn(
-            "slope_ppm", F.expr("(y2 - y1) * 1000000 DIV (x2 - x1)")
+            # NULLIF guard (rule 40): 1-day series -> coincident anchors
+            "slope_ppm", F.expr("(y2 - y1) * 1000000 DIV NULLIF(x2 - x1, 0)")
         )
     )
     return (
@@ -353,9 +358,11 @@ def q_ransac_line_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deming (errors-in-both-variables) regression: revenue ~ order count
 # ---------------------------------------------------------------------------
 
+# NULLIF guard (CROSS_ENGINE rule 40): a 1-day series zeroes vxy (and
+# every other central moment) -> 0/0; shared by both engines
 _DM_SLOPE = (
     "((vyy - vxx + sqrt((vyy - vxx) * (vyy - vxx) + 4.0 * vxy * vxy))"
-    " / (2.0 * vxy))"
+    " / NULLIF(2.0 * vxy, 0))"
 )
 
 
@@ -397,7 +404,8 @@ _DM_SLOPE = (
     )
     SELECT n AS n_days,
            {_DM_SLOPE} AS deming_slope,
-           syd / nd - {_DM_SLOPE} * (sxd / nd) AS deming_intercept
+           syd / NULLIF(nd, 0) - {_DM_SLOPE} * (sxd / NULLIF(nd, 0))
+             AS deming_intercept
     FROM e
     """,
 )
@@ -440,7 +448,9 @@ def q_deming_regression_daily(
     return e.select(
         F.col("n").alias("n_days"),
         F.expr(_DM_SLOPE).alias("deming_slope"),
-        F.expr(f"syd / nd - {_DM_SLOPE} * (sxd / nd)").alias(
+        F.expr(
+            f"syd / NULLIF(nd, 0) - {_DM_SLOPE} * (sxd / NULLIF(nd, 0))"
+        ).alias(
             "deming_intercept"
         ),
     )
@@ -596,7 +606,7 @@ def q_adf_unit_root_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_vectors, n_dims,
            (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
-             / CAST(svv AS DOUBLE) AS pr_effective_dims
+             / NULLIF(CAST(svv AS DOUBLE), 0) AS pr_effective_dims
     FROM agg
     """,
 )
@@ -632,9 +642,10 @@ def q_embedding_participation_ratio(
     return agg.select(
         "n_vectors",
         "n_dims",
+        # NULLIF guard (rule 40): one vector -> all per-dim variances 0
         F.expr(
             "(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
-            " / CAST(svv AS DOUBLE)"
+            " / NULLIF(CAST(svv AS DOUBLE), 0)"
         ).alias("pr_effective_dims"),
     )
 

@@ -1051,10 +1051,10 @@ def q_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_docs, n_sources, n_langs, total_tokens, total_chars,
            n_unique,
-           CAST(((n_docs - n_unique) * 1000000) // n_docs AS BIGINT)
-             AS dup_rate_fp,
+           CAST(((n_docs - n_unique) * 1000000) // NULLIF(n_docs, 0)
+             AS BIGINT) AS dup_rate_fp,
            n_quality,
-           CAST((n_quality * 1000000) // n_docs AS BIGINT)
+           CAST((n_quality * 1000000) // NULLIF(n_docs, 0) AS BIGINT)
              AS quality_rate_fp
     FROM base CROSS JOIN uniq
     """,
@@ -1085,10 +1085,13 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "total_chars",
         "n_unique",
-        F.expr("CAST(((n_docs - n_unique) * 1000000) DIV n_docs AS BIGINT)")
-        .alias("dup_rate_fp"),
+        # NULLIF guard (CROSS_ENGINE rule 40): empty corpus -> n_docs=0
+        F.expr(
+            "CAST(((n_docs - n_unique) * 1000000) DIV NULLIF(n_docs, 0)"
+            " AS BIGINT)"
+        ).alias("dup_rate_fp"),
         "n_quality",
-        F.expr("CAST((n_quality * 1000000) DIV n_docs AS BIGINT)")
+        F.expr("CAST((n_quality * 1000000) DIV NULLIF(n_docs, 0) AS BIGINT)")
         .alias("quality_rate_fp"),
     )
 

@@ -899,7 +899,7 @@ def q_event_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(d.ta AS BIGINT) AS n_odd,
            CAST(d.tb AS BIGINT) AS n_even,
            CAST(MIN(d.bucket) AS BIGINT) AS ks_at_bucket,
-           CAST(mx.mdev * 1000000 // (d.ta * d.tb) AS BIGINT) AS ks_fp
+           CAST(mx.mdev * 1000000 // NULLIF(d.ta * d.tb, 0) AS BIGINT) AS ks_fp
     FROM d JOIN mx ON d.dev = mx.mdev
     GROUP BY d.ta, d.tb, mx.mdev
     """,
@@ -943,7 +943,11 @@ def q_source_divergence_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ta").cast("bigint").alias("n_odd"),
             F.col("tb").cast("bigint").alias("n_even"),
             "ks_at_bucket",
-            F.expr("CAST(mdev * 1000000 DIV (ta * tb) AS BIGINT)").alias("ks_fp"),
+            # NULLIF guard (CROSS_ENGINE rule 40): one-sided input
+            # zeroes ta or tb; ANSI Spark throws on DIV 0
+            F.expr(
+                "CAST(mdev * 1000000 DIV NULLIF(ta * tb, 0) AS BIGINT)"
+            ).alias("ks_fp"),
         )
     )
 
@@ -1807,8 +1811,8 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n_directed_edges,
            CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0) AS assortativity
     FROM m
     """,
 )
@@ -1834,11 +1838,14 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         F.col("n").cast("bigint").alias("n_directed_edges"),
+        # NULLIF guard (CROSS_ENGINE rule 40): a regular (constant-
+        # degree) or empty graph zeroes a variance; ANSI throws on /0
         (
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (
+            / F.nullif(
                 F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                F.lit(0.0),
             )
         ).alias("assortativity"),
     )

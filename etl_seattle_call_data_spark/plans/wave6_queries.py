@@ -217,8 +217,9 @@ def q_reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey, seg,
            (CAST(cents AS DOUBLE) - mean_c)
-             / sqrt(ex2_c - mean_c * mean_c) AS z_score,
-           CAST(cents - min_c AS DOUBLE) / CAST(max_c - min_c AS DOUBLE) AS min_max
+             / NULLIF(sqrt(ex2_c - mean_c * mean_c), 0) AS z_score,
+           CAST(cents - min_c AS DOUBLE)
+             / NULLIF(CAST(max_c - min_c AS DOUBLE), 0) AS min_max
     FROM c JOIN st USING (seg)
     """,
 )
@@ -254,13 +255,20 @@ def q_feature_scaler_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(st), "seg").select(
         "o_orderkey",
         "seg",
+        # NULLIF guards (CROSS_ENGINE rule 40): a constant-price or
+        # single-order segment zeroes sigma and the min-max span
         (
             (F.col("cents").cast("double") - F.col("mean_c"))
-            / F.sqrt(F.col("ex2_c") - F.col("mean_c") * F.col("mean_c"))
+            / F.nullif(
+                F.sqrt(F.col("ex2_c") - F.col("mean_c") * F.col("mean_c")),
+                F.lit(0.0),
+            )
         ).alias("z_score"),
         (
             (F.col("cents") - F.col("min_c")).cast("double")
-            / (F.col("max_c") - F.col("min_c")).cast("double")
+            / F.nullif(
+                (F.col("max_c") - F.col("min_c")).cast("double"), F.lit(0.0)
+            )
         ).alias("min_max"),
     )
 
@@ -1129,10 +1137,10 @@ _KSO_K = 64
              AS est_union,
            CAST(n_both * (CASE WHEN k_used < {_KSO_K} THEN exact_union
                           ELSE ({_KSO_K} - 1) * 4503599627370496 // hk END)
-                // k_used AS BIGINT) AS est_inter,
+                // NULLIF(k_used, 0) AS BIGINT) AS est_inter,
            CAST(COALESCE((n_both * (CASE WHEN k_used < {_KSO_K} THEN exact_union
                            ELSE ({_KSO_K} - 1) * 4503599627370496 // hk END)
-                          // k_used - exact_inter) * 1000000
+                          // NULLIF(k_used, 0) - exact_inter) * 1000000
                          // NULLIF(exact_inter, 0), 0) AS BIGINT)
              AS inter_err_fp
     FROM ex CROSS JOIN kstat CROSS JOIN rho
@@ -1179,9 +1187,13 @@ def q_kmv_set_ops_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_inter",
         "k_used",
         F.expr(f"CAST({est} AS BIGINT)").alias("est_union"),
-        F.expr(f"CAST(n_both * ({est}) DIV k_used AS BIGINT)").alias("est_inter"),
+        # NULLIF guard (rule 40): both user sets empty -> k_used = 0
         F.expr(
-            f"CAST(COALESCE((n_both * ({est}) DIV k_used - exact_inter) * 1000000"
+            f"CAST(n_both * ({est}) DIV NULLIF(k_used, 0) AS BIGINT)"
+        ).alias("est_inter"),
+        F.expr(
+            f"CAST(COALESCE((n_both * ({est}) DIV NULLIF(k_used, 0)"
+            f" - exact_inter) * 1000000"
             f" DIV NULLIF(exact_inter, 0), 0) AS BIGINT)"
         ).alias("inter_err_fp"),
     )

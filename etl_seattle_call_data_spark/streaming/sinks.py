@@ -102,6 +102,46 @@ class KeyedUpsertSink:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
+    def read_for_keys(self, keys_df: DataFrame) -> DataFrame | None:
+        """Bucket-pruned store read for a keyed probe: only the buckets
+        the given frame's ``self.key`` column hashes into are listed or
+        scanned. Any stored row whose key equals a probe key shares its
+        hash, hence its bucket — so joining a gate's batch against THIS
+        frame is exactly equivalent to joining against ``read()``, while
+        the scan volume is (touched/n_buckets) x store instead of the
+        whole store. This is the probe-side twin of ``upsert_batch``'s
+        pruned merge read: with it, a micro-batch epoch is O(touched
+        buckets) end to end, which is what keeps the epoch inside a
+        fixed trigger interval as the store grows past the batch scale
+        (size ``n_buckets`` so a typical batch touches a small fraction;
+        tools/stream_bench.py measures the latency-vs-store-size curve).
+
+        The touched-bucket discovery is a ``<= n_buckets``-row distinct
+        collect of the probe frame's bucket ids — driver-side metadata,
+        the same bounded class as ``upsert_batch``'s. Returns None when
+        the store is empty or no probed bucket exists yet."""
+        manifest = self._read_manifest()
+        if not manifest:
+            return None
+        spark = keys_df.sparkSession
+        touched = sorted(
+            r[0]
+            for r in keys_df.select(self._bucket_expr().alias("__b"))
+            .distinct()
+            .collect()
+        )
+        # leaf-dir reads (same shape as read()): untouched buckets are
+        # never even LISTED, so the pruning holds regardless of the
+        # planner's partition-filter behavior
+        probed = {str(b): manifest[str(b)] for b in touched if str(b) in manifest}
+        if not probed:
+            return None
+        frames = self._bucket_frames(spark, probed)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     # -- write --------------------------------------------------------------
 
     def _bucket_expr(self):

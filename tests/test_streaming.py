@@ -1123,3 +1123,77 @@ def test_near_dedup_gate_keyless_docs_reforward_on_replay(spark, tmp_path):
     assert log == ["s1", "s1"]
     assert {r.doc_id for r in downstream.read(spark).collect()} == {"s1"}
     assert store.read(spark) is None or store.read(spark).count() == 0
+
+
+def test_read_for_keys_bucket_pruned_probe_parity(spark, tmp_path):
+    """read_for_keys is join-equivalent to read(): any stored key equal
+    to a probe key shares its hash, hence its bucket, so the pruned
+    frame contains EVERY possible match — while scanning only the
+    probed buckets (asserted via the scan's inputFiles)."""
+    sink = KeyedUpsertSink(str(tmp_path / "kv"), key="k", n_buckets=32)
+    rows = [(f"key{i}", i) for i in range(200)]
+    sink.upsert_batch(spark.createDataFrame(rows, "k string, v long"), 1)
+    # second epoch touches a subset, so the manifest spans 2 dirs
+    sink.upsert_batch(
+        spark.createDataFrame([("key3", 33), ("key777", 777)], "k string, v long"),
+        2,
+    )
+
+    probe = spark.createDataFrame(
+        [("key3",), ("key17",), ("absent",)], "k string"
+    )
+    pruned = sink.read_for_keys(probe)
+    full = sink.read(spark)
+    hit = lambda df: sorted(
+        (r.k, r.v) for r in probe.join(df, "k", "inner").collect()
+    )
+    assert hit(pruned) == hit(full) == [("key17", 17), ("key3", 33)]
+    # pruning is real: the probed frame scans fewer bucket files than
+    # the store holds, and every pruned row hashes to a probed bucket
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sink.read_for_keys(spark.createDataFrame([], "k string")) is None
+
+
+def test_near_dedup_gate_epoch_within_trigger_sla(spark, tmp_path):
+    """Throughput floor for the near-dup gate (reference consumer runs a
+    10 s micro-batch trigger): with a store seeded WELL past batch scale
+    (100k band keys here; tools/stream_bench.py measures the 1M curve),
+    a full gate epoch — minhash pass, bucket-pruned store probe,
+    anti-joins, forward, upsert — must stay inside the trigger interval,
+    because the probe reads touched buckets, not the store."""
+    from etl_seattle_call_data_spark.streaming.dedup_gate import near_dedup_writer
+
+    store = KeyedUpsertSink(
+        str(tmp_path / "band_store"), key="band_key", n_buckets=64
+    )
+    seed = spark.range(100_000).select(
+        F.concat(
+            (F.col("id") % 4).cast("string"),
+            F.lit(":"),
+            F.md5(F.col("id").cast("string")),
+        ).alias("band_key"),
+        F.concat(F.lit("seed"), F.col("id").cast("string")).alias("first_doc_id"),
+    )
+    store.upsert_batch(seed, epoch_id=0)
+
+    out = tmp_path / "novel"
+
+    def write_unique(batch, epoch_id):
+        batch.write.mode("append").parquet(str(out))
+
+    writer = near_dedup_writer(store, write_unique)
+    words = [f"w{i}" for i in range(40)]
+    for epoch in (1, 2):
+        batch = spark.createDataFrame(
+            [
+                (f"e{epoch}d{i}", " ".join(f"{w}e{epoch}d{i}" for w in words))
+                for i in range(50)
+            ],
+            "doc_id string, text string",
+        )
+        t0 = time.perf_counter()
+        writer(batch, epoch)
+        dt = time.perf_counter() - t0
+        assert dt < 10.0, f"epoch {epoch} took {dt:.1f}s (> 10s trigger SLA)"
+
+    assert spark.read.parquet(str(out)).count() == 100

@@ -32,6 +32,16 @@ would, not the way naive duplication would:
 Determinism: numpy RNG seeded from (seed, replica) — no wall clock, no
 global RNG. Output schema is cast to the base file's arrow schema so
 physical types (int32 linenumbers, us timestamps, float lists) match.
+
+Adversarial skew (--hot-key-pct p, p > 0): AFTER key-shifting, every
+replica rewrites a deterministic p-fraction of orders.o_custkey to ONE
+hot customer (base key 1) and p of lineitem.l_partkey to ONE hot part
+(base key 1) — rows where row_index % round(1/p) == 0, so the hot key
+owns exactly p of the fact table at every SF. Referential integrity
+holds (key 1 exists in replica 0's dim), and the zipfian head this
+manufactures is the shape that breaks non-salted shuffled joins at
+100 TB: one reducer receives p × |fact| rows regardless of cluster
+size. Used by tools/skew_bench.py to measure salted vs unsalted plans.
 """
 
 from __future__ import annotations
@@ -88,16 +98,25 @@ def _offsets(base: str) -> dict[str, int]:
     return out
 
 
-def _perturb_text(text: str, r: int) -> str:
-    """Tag every 5th word (offset r mod 5) with an alnum replica suffix.
-    Alnum so whitespace/punct tokenizers keep the tag attached to the
-    word instead of stripping it back to the original."""
+def _perturb_text(text: str, r: int, stride: int = 5) -> str:
+    """Tag every ``stride``-th word (offset r mod stride) with an alnum
+    replica suffix. Alnum so whitespace/punct tokenizers keep the tag
+    attached to the word instead of stripping it back to the original.
+
+    Stride picks the cross-replica overlap regime. stride=5 (the sf1
+    default) leaves 4-word untagged gaps, so same-residue replica pairs
+    share the in-gap 3-gram shingles (~0.2 Jaccard) — fine at K=10
+    (≤ 2 replicas per residue) but at K=100 there are 20 replicas per
+    residue and the manufactured near-dup PAIR structure would grow
+    ~K², which no real 10x corpus does. stride=3 puts a tagged word in
+    EVERY 3-gram window, so cross-replica 3-shingle overlap is exactly
+    0 and pair structure scales linearly in K — use it for sf10."""
     if not text:
         return text
     words = text.split(" ")
-    res = r % 5
+    res = r % stride
     tag = f"x{r}"
-    for i in range(res, len(words), 5):
+    for i in range(res, len(words), stride):
         if words[i]:
             words[i] = words[i] + tag
     return " ".join(words)
@@ -108,7 +127,20 @@ def _signed_perm(dims: int, seed: int, r: int) -> tuple[np.ndarray, np.ndarray]:
     return rng.permutation(dims), rng.choice([-1.0, 1.0], size=dims).astype("float32")
 
 
-def scale_table(base: str, out_dir: str, table: str, k: int, off: dict[str, int], seed: int) -> int:
+# table -> (fk column, hot base key) rewritten under --hot-key-pct
+HOT_KEYS = {"orders": ("o_custkey", 1), "lineitem": ("l_partkey", 1)}
+
+
+def scale_table(
+    base: str,
+    out_dir: str,
+    table: str,
+    k: int,
+    off: dict[str, int],
+    seed: int,
+    hot_key_pct: float = 0.0,
+    tag_stride: int = 5,
+) -> int:
     src = os.path.join(base, f"{table}.parquet")
     dst = os.path.join(out_dir, f"{table}.parquet")
     tbl = pq.read_table(src)
@@ -122,8 +154,16 @@ def scale_table(base: str, out_dir: str, table: str, k: int, off: dict[str, int]
                 shift = r * off[home]
                 arr = cols[key_col].to_numpy() + shift
                 cols[key_col] = pa.array(arr)
+            if hot_key_pct > 0 and table in HOT_KEYS:
+                fk, hot = HOT_KEYS[table]
+                stride = max(1, round(1.0 / hot_key_pct))
+                arr = cols[fk].to_numpy().copy()
+                arr[::stride] = hot  # base key 1 exists in replica 0's dim
+                cols[fk] = pa.array(arr)
             if table == "documents" and r > 0:
-                texts = [_perturb_text(t, r) for t in cols["text"].to_pylist()]
+                texts = [
+                    _perturb_text(t, r, tag_stride) for t in cols["text"].to_pylist()
+                ]
                 cols["text"] = pa.array(texts)
                 cols["n_chars"] = pa.array([len(t) for t in texts], type=pa.int64())
             if table == "embeddings":
@@ -149,6 +189,20 @@ def main() -> int:
     ap.add_argument("--out", default=".scaledata/sf1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--hot-key-pct",
+        type=float,
+        default=0.0,
+        help="rewrite this fraction of orders.o_custkey / lineitem.l_partkey "
+        "to ONE hot key (adversarial zipfian head for skew benchmarks)",
+    )
+    ap.add_argument(
+        "--tag-stride",
+        type=int,
+        default=5,
+        help="documents word-tag stride (see _perturb_text: 5 for K<=10, "
+        "3 for K=100 so cross-replica shingle overlap is 0)",
+    )
     ns = ap.parse_args()
     os.makedirs(ns.out, exist_ok=True)
     for t in ("region", "nation"):
@@ -158,7 +212,10 @@ def main() -> int:
         print(f"{t}: copied (fixed dim)")
     off = _offsets(ns.base)
     for t in KEY_OFFSETS:
-        n = scale_table(ns.base, ns.out, t, ns.replicas, off, ns.seed)
+        n = scale_table(
+            ns.base, ns.out, t, ns.replicas, off, ns.seed,
+            ns.hot_key_pct, ns.tag_stride,
+        )
         print(f"{t}: {n} rows ({ns.replicas} replicas)")
     return 0
 

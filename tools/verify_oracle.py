@@ -24,6 +24,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
+    import decimal
+
     import numpy as np
     import pandas as pd
 
@@ -33,6 +35,10 @@ def canon(v):
         v = v.item()
     if isinstance(v, np.ndarray):
         v = v.tolist()
+    if isinstance(v, decimal.Decimal):
+        # arrow returns DECIMAL cells as Decimal; Spark rows carry float
+        # after the house to-double casts — normalize to the float repr
+        v = float(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
@@ -98,13 +104,18 @@ def main() -> int:
             sdf = qs[name](spark, sf)
             cols = sorted(sdf.columns)
             srows = sorted(tuple(canon(r[c]) for c in cols) for r in sdf.collect())
-            odf = con.execute(osql[name]).fetchdf()
-            if sorted(odf.columns) != cols:
-                fails.append((name, f"cols {cols} vs {sorted(odf.columns)}"))
+            # Arrow fetch, NOT fetchdf(): pandas stores SQL NULL as NaN
+            # in float columns, silently conflating NULL with a genuine
+            # IEEE NaN — at emptiness-edge SFs every NULL ratio row
+            # would false-mismatch against Spark's None (and a real
+            # NaN-vs-NULL engine divergence would false-PASS under the
+            # same conflation). Arrow preserves the distinction.
+            otbl = con.execute(osql[name]).fetch_arrow_table()
+            if sorted(otbl.column_names) != cols:
+                fails.append((name, f"cols {cols} vs {sorted(otbl.column_names)}"))
                 continue
             orows = sorted(
-                tuple(canon(v) for v in row)
-                for row in odf[cols].itertuples(index=False, name=None)
+                tuple(canon(row[c]) for c in cols) for row in otbl.to_pylist()
             )
             if srows != orows:
                 nd = sum(1 for s, o in zip(srows, orows) if s != o) + abs(len(srows) - len(orows))
