@@ -123,7 +123,8 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT stage, stage_name, n_users,
            CAST(n_users AS DOUBLE)
-             / CAST((SELECT n_users FROM counts WHERE stage = 1) AS DOUBLE)
+             / NULLIF(CAST((SELECT n_users FROM counts WHERE stage = 1)
+                           AS DOUBLE), 0)
              AS conversion
     FROM counts
     """,
@@ -175,9 +176,11 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         "stage_name",
         "n_users",
-        (F.col("n_users").cast("double") / F.col("base_users").cast("double")).alias(
-            "conversion"
-        ),
+        # NULLIF guard (CROSS_ENGINE rule 40): no view events -> base 0
+        (
+            F.col("n_users").cast("double")
+            / F.nullif(F.col("base_users").cast("double"), F.lit(0.0))
+        ).alias("conversion"),
     )
 
 

@@ -450,15 +450,18 @@ def q_k_threshold_suppression_release(spark: SparkSession, sf_dir: str) -> DataF
       SELECT event_type, n,
              CAST(floor(CAST(n AS DOUBLE)
                         * sqrt((CAST(varnum // 67108864 AS DOUBLE) * 67108864.0 + CAST(varnum % 67108864 AS DOUBLE))
-                               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+                               / NULLIF(CAST(n AS DOUBLE)
+                                        * CAST(n - 1 AS DOUBLE), 0)))
                   AS BIGINT) AS weight
       FROM v
     )
     SELECT event_type,
            CAST(n AS BIGINT) AS n_rows,
            weight,
-           CAST(weight * 1000000 // SUM(weight) OVER () AS BIGINT) AS share_ppm,
-           CAST(weight * 10000 // SUM(weight) OVER () AS BIGINT) AS alloc_10k
+           CAST(weight * 1000000 // NULLIF(SUM(weight) OVER (), 0) AS BIGINT)
+             AS share_ppm,
+           CAST(weight * 10000 // NULLIF(SUM(weight) OVER (), 0) AS BIGINT)
+             AS alloc_10k
     FROM w
     """,
 )
@@ -483,9 +486,13 @@ def q_neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(
             F.col("n").cast("double")
+            # NULLIF guard (rule 40): a 1-row stratum zeroes n*(n-1)
             * F.sqrt(
                 F.expr(_split_double("varnum").format(**_SPLIT_SPARK))
-                / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+                / F.nullif(
+                    F.col("n").cast("double") * (F.col("n") - 1).cast("double"),
+                    F.lit(0.0),
+                )
             )
         )
         .cast("bigint")
@@ -495,10 +502,11 @@ def q_neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("bigint").alias("n_rows"),
         "weight",
-        F.expr("CAST(weight * 1000000 DIV SUM(weight) OVER () AS BIGINT)").alias(
-            "share_ppm"
-        ),
-        F.expr("CAST(weight * 10000 DIV SUM(weight) OVER () AS BIGINT)").alias(
-            "alloc_10k"
-        ),
+        F.expr(
+            "CAST(weight * 1000000 DIV NULLIF(SUM(weight) OVER (), 0)"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST(weight * 10000 DIV NULLIF(SUM(weight) OVER (), 0) AS BIGINT)"
+        ).alias("alloc_10k"),
     )

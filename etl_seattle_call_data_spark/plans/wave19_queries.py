@@ -472,8 +472,8 @@ def q_hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
                  WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
                  ELSE 0.0 END)
-             / sqrt(CAST(n.nd * (n.nd - 1) * (2 * n.nd + 5) - ties.tie_term
-                    AS DOUBLE) / 18.0) AS z_stat
+             / NULLIF(sqrt(CAST(n.nd * (n.nd - 1) * (2 * n.nd + 5)
+                    - ties.tie_term AS DOUBLE) / 18.0), 0) AS z_stat
     FROM s, ties, n
     """,
 )
@@ -517,8 +517,9 @@ def q_mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
             " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
             " ELSE 0.0 END)"
-            " / sqrt(CAST(nd * (nd - 1) * (2 * nd + 5) - tie_term"
-            " AS DOUBLE) / 18.0)"
+            # NULLIF guard (rule 40): a 1-day series zeroes Var(S)
+            " / NULLIF(sqrt(CAST(nd * (nd - 1) * (2 * nd + 5) - tie_term"
+            " AS DOUBLE) / 18.0), 0)"
         ).alias("z_stat"),
     )
 

@@ -463,17 +463,17 @@ def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
            (sx / sy) / 100.0 AS spend_per_order,
            sqrt((sxx - 2.0 * (sx / sy) * sxy
                  + (sx / sy) * (sx / sy) * syy)
-                / ((nn - 1.0) * nn) / ((sy / nn) * (sy / nn))) / (nn * 100.0)
+                / NULLIF((nn - 1.0) * nn, 0) / ((sy / nn) * (sy / nn))) / (nn * 100.0)
              * nn AS se_dollars,
            (sx / sy) / 100.0
              - 1.96 * (sqrt((sxx - 2.0 * (sx / sy) * sxy
                  + (sx / sy) * (sx / sy) * syy)
-                / ((nn - 1.0) * nn) / ((sy / nn) * (sy / nn))) / (nn * 100.0)
+                / NULLIF((nn - 1.0) * nn, 0) / ((sy / nn) * (sy / nn))) / (nn * 100.0)
              * nn) AS ci_lo,
            (sx / sy) / 100.0
              + 1.96 * (sqrt((sxx - 2.0 * (sx / sy) * sxy
                  + (sx / sy) * (sx / sy) * syy)
-                / ((nn - 1.0) * nn) / ((sy / nn) * (sy / nn))) / (nn * 100.0)
+                / NULLIF((nn - 1.0) * nn, 0) / ((sy / nn) * (sy / nn))) / (nn * 100.0)
              * nn) AS ci_hi
     FROM d
     """,
@@ -506,10 +506,11 @@ def q_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c_ in ("sx", "sy", "sxx", "sxy", "syy")
         ],
     )
+    # NULLIF guard (rule 40): a 1-customer segment zeroes (nn-1)*nn
     se = (
         "sqrt((sxx - 2.0 * (sx / sy) * sxy"
         " + (sx / sy) * (sx / sy) * syy)"
-        " / ((nn - 1.0) * nn) / ((sy / nn) * (sy / nn))) / (nn * 100.0)"
+        " / NULLIF((nn - 1.0) * nn, 0) / ((sy / nn) * (sy / nn))) / (nn * 100.0)"
         " * nn"
     )
     return d.select(

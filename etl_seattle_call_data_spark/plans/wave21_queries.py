@@ -457,11 +457,13 @@ _PC_MAX_PLAUSIBLE = 365
     )
     SELECT status, n AS n_lines,
            sx / nn AS mean_days,
-           sqrt((sxx - sx * sx / nn) / (nn - 1.0)) AS sd_days,
+           sqrt((sxx - sx * sx / nn) / NULLIF(nn - 1.0, 0)) AS sd_days,
            CAST({_PC_USL - _PC_LSL} AS DOUBLE)
-             / (6.0 * sqrt((sxx - sx * sx / nn) / (nn - 1.0))) AS cp,
+             / NULLIF(6.0 * sqrt((sxx - sx * sx / nn)
+                                 / NULLIF(nn - 1.0, 0)), 0) AS cp,
            LEAST({_PC_USL}.0 - sx / nn, sx / nn - {_PC_LSL}.0)
-             / (3.0 * sqrt((sxx - sx * sx / nn) / (nn - 1.0))) AS cpk
+             / NULLIF(3.0 * sqrt((sxx - sx * sx / nn)
+                                 / NULLIF(nn - 1.0, 0)), 0) AS cpk
     FROM e
     """,
 )
@@ -492,15 +494,19 @@ def q_process_capability_leadtime(
         F.expr(_split_double("sx_i").format(**_SPLIT_SPARK)).alias("sx"),
         F.expr(_split_double("sxx_i").format(**_SPLIT_SPARK)).alias("sxx"),
     )
-    sd = "sqrt((sxx - sx * sx / nn) / (nn - 1.0))"
+    # NULLIF guards (rule 40): a 1-line or constant-leadtime status
+    # zeroes nn - 1 / sigma
+    sd = "sqrt((sxx - sx * sx / nn) / NULLIF(nn - 1.0, 0))"
     return e.select(
         "status",
         F.col("n").alias("n_lines"),
         F.expr("sx / nn").alias("mean_days"),
         F.expr(sd).alias("sd_days"),
-        F.expr(f"CAST({_PC_USL - _PC_LSL} AS DOUBLE) / (6.0 * {sd})").alias("cp"),
+        F.expr(
+            f"CAST({_PC_USL - _PC_LSL} AS DOUBLE) / NULLIF(6.0 * {sd}, 0)"
+        ).alias("cp"),
         F.expr(
             f"LEAST({_PC_USL}.0 - sx / nn, sx / nn - {_PC_LSL}.0)"
-            f" / (3.0 * {sd})"
+            f" / NULLIF(3.0 * {sd}, 0)"
         ).alias("cpk"),
     )

@@ -251,10 +251,13 @@ def q_chain_ladder_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pearson standardized residual cells: nation x order priority
 # ---------------------------------------------------------------------------
 
-_PR_E = "(rd * cd / nd)"
+# NULLIF guards (CROSS_ENGINE rule 40): a single-cell table makes the
+# cell its own margins (R = C = N), zeroing both variance factors
+_PR_E = "(rd * cd / NULLIF(nd, 0))"
 _PR_RESID = (
     f"((od - {_PR_E})"
-    f" / sqrt({_PR_E} * (1.0 - rd / nd) * (1.0 - cd / nd)))"
+    f" / NULLIF(sqrt({_PR_E} * (1.0 - rd / NULLIF(nd, 0))"
+    f" * (1.0 - cd / NULLIF(nd, 0))), 0))"
 )
 
 

@@ -541,16 +541,18 @@ def q_heaps_law_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2-D Mahalanobis outliers: order value vs line count
 # ---------------------------------------------------------------------------
 
-_MH_V1 = "((sxxd - sxd * sxd / nd) / (nd - 1.0))"
-_MH_V2 = "((syyd - syd * syd / nd) / (nd - 1.0))"
-_MH_C = "((sxyd - sxd * syd / nd) / (nd - 1.0))"
-_MH_DX = "(xd - sxd / nd)"
-_MH_DY = "(yd - syd / nd)"
+# NULLIF guards (CROSS_ENGINE rule 40): a 1-order input zeroes nd-1 and
+# the covariance determinant (singular matrix); shared by both engines
+_MH_V1 = "((sxxd - sxd * sxd / NULLIF(nd, 0)) / NULLIF(nd - 1.0, 0))"
+_MH_V2 = "((syyd - syd * syd / NULLIF(nd, 0)) / NULLIF(nd - 1.0, 0))"
+_MH_C = "((sxyd - sxd * syd / NULLIF(nd, 0)) / NULLIF(nd - 1.0, 0))"
+_MH_DX = "(xd - sxd / NULLIF(nd, 0))"
+_MH_DY = "(yd - syd / NULLIF(nd, 0))"
 _MH_D2 = (
     f"(({_MH_DX} * {_MH_DX} * {_MH_V2}"
     f" - 2.0 * {_MH_DX} * {_MH_DY} * {_MH_C}"
     f" + {_MH_DY} * {_MH_DY} * {_MH_V1})"
-    f" / ({_MH_V1} * {_MH_V2} - {_MH_C} * {_MH_C}))"
+    f" / NULLIF({_MH_V1} * {_MH_V2} - {_MH_C} * {_MH_C}, 0))"
 )
 
 

@@ -44,9 +44,11 @@ _DAY = "86400000000"
 
 _KW_MAX_DUR = 365
 
+# NULLIF guards (CROSS_ENGINE rule 40): an empty/1-row series zeroes
+# nd terms, and an ALL-tied series zeroes the tie correction 1 - T/(n3-n)
 _KW_H = (
-    "((12.0 * termd / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0))"
-    " / (1.0 - tied / (nd * nd * nd - nd)))"
+    "((12.0 * termd / NULLIF(nd * (nd + 1.0), 0) - 3.0 * (nd + 1.0))"
+    " / NULLIF(1.0 - tied / NULLIF(nd * nd * nd - nd, 0), 0))"
 )
 
 
@@ -359,7 +361,7 @@ def q_friedman_test_nation_blocks(
     )
     SELECT r.dow, r.n_days, r.wmed AS weekday_median,
            m.wmad AS residual_mad,
-           CAST((s.sst - s.ssr) * 1000000 // s.sst AS BIGINT)
+           CAST((s.sst - s.ssr) * 1000000 // NULLIF(s.sst, 0) AS BIGINT)
              AS explained_ppm
     FROM (SELECT DISTINCT dow, n_days, wmed FROM res) r
     JOIN rmad m ON m.dow = r.dow
@@ -438,8 +440,9 @@ def q_weekday_seasonal_decomposition(
             "n_days",
             F.col("wmed").alias("weekday_median"),
             F.col("wmad").alias("residual_mad"),
+            # NULLIF guard (rule 40): a 1-day series zeroes sst
             F.expr(
-                "CAST((sst - ssr) * 1000000 DIV sst AS BIGINT)"
+                "CAST((sst - ssr) * 1000000 DIV NULLIF(sst, 0) AS BIGINT)"
             ).alias("explained_ppm"),
         )
     )

@@ -111,13 +111,15 @@ def q_sequential_pattern_support(
 
 _PW_MDES = (50_000, 100_000, 200_000)  # relative lifts in ppm
 
+# NULLIF guard (CROSS_ENGINE rule 40): a zero baseline rate makes
+# p2 = p1, zeroing the MDE gap; shared by both engines
 _PW_N = (
     "(ceil("
     " (1.96 * sqrt(2.0 * pbar * (1.0 - pbar))"
     "  + 0.8416 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))"
     " * (1.96 * sqrt(2.0 * pbar * (1.0 - pbar))"
     "    + 0.8416 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))"
-    " / ((p2 - p1) * (p2 - p1))))"
+    " / NULLIF((p2 - p1) * (p2 - p1), 0)))"
 )
 
 
@@ -446,7 +448,8 @@ def q_term_burstiness_church_gale(
              CASE WHEN n_hi > 0 AND n_lo > 0
                   THEN r_hi * 1000000 // n_hi - r_lo * 1000000 // n_lo
                   ELSE 0 END AS rd_ppm,
-             tr_hi * 1000000 // tn_hi - tr_lo * 1000000 // tn_lo
+             tr_hi * 1000000 // NULLIF(tn_hi, 0)
+               - tr_lo * 1000000 // NULLIF(tn_lo, 0)
                AS overall_rd_ppm
       FROM s CROSS JOIN tot
     )
@@ -488,8 +491,11 @@ def q_simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN r_hi * 1000000 DIV n_hi - r_lo * 1000000 DIV n_lo"
             " ELSE 0 END"
         ).alias("rd_ppm"),
+        # NULLIF guard (rule 40): a globally one-armed input zeroes a
+        # marginal count
         F.expr(
-            "tr_hi * 1000000 DIV tn_hi - tr_lo * 1000000 DIV tn_lo"
+            "tr_hi * 1000000 DIV NULLIF(tn_hi, 0)"
+            " - tr_lo * 1000000 DIV NULLIF(tn_lo, 0)"
         ).alias("overall_rd_ppm"),
     )
     return e.select(

@@ -203,17 +203,23 @@ def q_haar_energy_decomposition(
 # Jarque-Bera normality test on daily revenue
 # ---------------------------------------------------------------------------
 
-_JB_M2 = "((s2d - s1d * s1d / nd) / nd)"
+# NULLIF guards (CROSS_ENGINE rule 40): an empty series zeroes nd, a
+# constant/1-day series zeroes m2 — ANSI Spark throws on /0 where
+# DuckDB yields NULL; shared strings cover both engines identically
+_JB_M2 = "((s2d - s1d * s1d / NULLIF(nd, 0)) / NULLIF(nd, 0))"
 _JB_M3 = (
-    "((s3d - 3.0 * s2d * s1d / nd + 2.0 * s1d * s1d * s1d / (nd * nd))"
-    " / nd)"
+    "((s3d - 3.0 * s2d * s1d / NULLIF(nd, 0)"
+    " + 2.0 * s1d * s1d * s1d / NULLIF(nd * nd, 0))"
+    " / NULLIF(nd, 0))"
 )
 _JB_M4 = (
-    "((s4d - 4.0 * s3d * s1d / nd + 6.0 * s2d * s1d * s1d / (nd * nd)"
-    " - 3.0 * s1d * s1d * s1d * s1d / (nd * nd * nd)) / nd)"
+    "((s4d - 4.0 * s3d * s1d / NULLIF(nd, 0)"
+    " + 6.0 * s2d * s1d * s1d / NULLIF(nd * nd, 0)"
+    " - 3.0 * s1d * s1d * s1d * s1d / NULLIF(nd * nd * nd, 0))"
+    " / NULLIF(nd, 0))"
 )
-_JB_SKEW = f"({_JB_M3} / (sqrt({_JB_M2}) * {_JB_M2}))"
-_JB_KURT = f"({_JB_M4} / ({_JB_M2} * {_JB_M2}))"
+_JB_SKEW = f"({_JB_M3} / NULLIF(sqrt({_JB_M2}) * {_JB_M2}, 0))"
+_JB_KURT = f"({_JB_M4} / NULLIF({_JB_M2} * {_JB_M2}, 0))"
 _JB_STAT = (
     f"(nd / 6.0 * ({_JB_SKEW} * {_JB_SKEW}"
     f" + ({_JB_KURT} - 3.0) * ({_JB_KURT} - 3.0) / 4.0))"

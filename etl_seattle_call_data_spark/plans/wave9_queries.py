@@ -217,7 +217,7 @@ def q_ipw_sample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS part_key, deg AS degree,
            CAST(sum_inter // 2 AS BIGINT) AS n_triangles,
-           CAST(sum_inter * 1000000 // (deg * (deg - 1)) AS BIGINT)
+           CAST(sum_inter * 1000000 // NULLIF(deg * (deg - 1), 0) AS BIGINT)
              AS clustering_ppm
     FROM inter
     ORDER BY degree DESC, part_key
@@ -255,7 +255,8 @@ def q_local_clustering_top_degree(spark: SparkSession, sf_dir: str) -> DataFrame
         "node AS part_key",
         "deg AS degree",
         "CAST(sum_inter DIV 2 AS BIGINT) AS n_triangles",
-        "CAST(sum_inter * 1000000 DIV (deg * (deg - 1)) AS BIGINT)"
+        # NULLIF guard (rule 40): a degree-1 probe zeroes deg*(deg-1)
+        "CAST(sum_inter * 1000000 DIV NULLIF(deg * (deg - 1), 0) AS BIGINT)"
         " AS clustering_ppm",
     ).orderBy(F.desc("degree"), "part_key")
 

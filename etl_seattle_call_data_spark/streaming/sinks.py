@@ -85,35 +85,52 @@ class KeyedUpsertSink:
 
     # -- read ---------------------------------------------------------------
 
-    def _bucket_frames(self, spark: SparkSession, buckets: dict[str, str]) -> list[DataFrame]:
-        frames = []
+    def _read_buckets(
+        self, spark: SparkSession, buckets: dict[str, str]
+    ) -> DataFrame | None:
+        """Union of the requested buckets' snapshots, read ONE plan leg
+        per distinct epoch DIRECTORY (not per bucket): a per-leaf-dir
+        read costs a sequential driver-side footer/schema pass per
+        bucket (measured: ~5 s of pure plan build for 60 buckets) and a
+        scan stage per leg; a per-dir read with a partition-pruned
+        ``__bucket IN (...)`` filter plans once per dir — legs are
+        bounded by retained epochs, and the untouched leaf dirs are
+        skipped by partition pruning (asserted in tests via the scan's
+        PartitionFilters)."""
+        by_dir: dict[str, list[int]] = {}
         for b, epoch_dir in buckets.items():
-            p = os.path.join(self.path, epoch_dir, f"__bucket={b}")
-            frames.append(spark.read.parquet(p))
-        return frames
-
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        buckets = self._read_manifest()
-        if not buckets:
+            by_dir.setdefault(epoch_dir, []).append(int(b))
+        frames = [
+            spark.read.parquet(os.path.join(self.path, d))
+            .filter(F.col("__bucket").isin(bs))
+            .drop("__bucket")
+            for d, bs in by_dir.items()
+        ]
+        if not frames:
             return None
-        frames = self._bucket_frames(spark, buckets)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        buckets = self._read_manifest()
+        if not buckets:
+            return None
+        return self._read_buckets(spark, buckets)
+
     def read_for_keys(self, keys_df: DataFrame) -> DataFrame | None:
         """Bucket-pruned store read for a keyed probe: only the buckets
-        the given frame's ``self.key`` column hashes into are listed or
-        scanned. Any stored row whose key equals a probe key shares its
-        hash, hence its bucket — so joining a gate's batch against THIS
-        frame is exactly equivalent to joining against ``read()``, while
-        the scan volume is (touched/n_buckets) x store instead of the
-        whole store. This is the probe-side twin of ``upsert_batch``'s
-        pruned merge read: with it, a micro-batch epoch is O(touched
-        buckets) end to end, which is what keeps the epoch inside a
-        fixed trigger interval as the store grows past the batch scale
-        (size ``n_buckets`` so a typical batch touches a small fraction;
+        the given frame's ``self.key`` column hashes into are scanned.
+        Any stored row whose key equals a probe key shares its hash,
+        hence its bucket — so joining a gate's batch against THIS frame
+        is exactly equivalent to joining against ``read()``, while the
+        scan volume is (touched/n_buckets) x store instead of the whole
+        store. This is the probe-side twin of ``upsert_batch``'s pruned
+        merge read: with it, a micro-batch epoch is O(touched buckets)
+        end to end, which is what keeps the epoch inside a fixed
+        trigger interval as the store grows past the batch scale (size
+        ``n_buckets`` so a typical batch touches a small fraction;
         tools/stream_bench.py measures the latency-vs-store-size curve).
 
         The touched-bucket discovery is a ``<= n_buckets``-row distinct
@@ -130,17 +147,10 @@ class KeyedUpsertSink:
             .distinct()
             .collect()
         )
-        # leaf-dir reads (same shape as read()): untouched buckets are
-        # never even LISTED, so the pruning holds regardless of the
-        # planner's partition-filter behavior
         probed = {str(b): manifest[str(b)] for b in touched if str(b) in manifest}
         if not probed:
             return None
-        frames = self._bucket_frames(spark, probed)
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f, allowMissingColumns=True)
-        return out
+        return self._read_buckets(spark, probed)
 
     # -- write --------------------------------------------------------------
 
@@ -204,10 +214,15 @@ class KeyedUpsertSink:
         )
         epoch_dir = self._fresh_epoch_dir(epoch_id, manifest)
         # one distributed job writes all touched buckets, laid out per
-        # bucket so reads and future epochs address buckets individually
-        latest.write.mode("overwrite").partitionBy("__bucket").parquet(
-            os.path.join(self.path, epoch_dir)
-        )
+        # bucket so reads and future epochs address buckets individually.
+        # Shuffle to the bucket key first: without it every one of the
+        # window's shuffle partitions holds rows of MANY buckets and
+        # partitionBy fans out partitions x buckets small files (measured
+        # 32 x 60 at bench scale); bucket-aligned tasks write one file
+        # per bucket, which the pruned reads then scan back cheaply.
+        latest.repartition(F.col("__bucket")).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(os.path.join(self.path, epoch_dir))
         new_manifest = dict(manifest)
         for b in touched:
             new_manifest[str(b)] = epoch_dir

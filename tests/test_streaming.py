@@ -1148,9 +1148,12 @@ def test_read_for_keys_bucket_pruned_probe_parity(spark, tmp_path):
         (r.k, r.v) for r in probe.join(df, "k", "inner").collect()
     )
     assert hit(pruned) == hit(full) == [("key17", 17), ("key3", 33)]
-    # pruning is real: the probed frame scans fewer bucket files than
-    # the store holds, and every pruned row hashes to a probed bucket
-    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # pruning is real: the probe plan carries a partition filter on the
+    # bucket column (untouched __bucket=N leaf dirs are skipped at scan
+    # planning), and the pruned frame holds a strict subset of the store
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan and " IN " in plan
+    assert pruned.count() < full.count()
     assert sink.read_for_keys(spark.createDataFrame([], "k string")) is None
 
 
