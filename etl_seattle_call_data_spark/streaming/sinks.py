@@ -52,6 +52,8 @@ class KeyedUpsertSink:
         self.key = key
         self.order_col = order_col
         self.n_buckets = n_buckets
+        # per-epoch-dir schema cache: dirs are immutable once published
+        self._dir_schema: dict[str, object] = {}
         os.makedirs(path, exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
@@ -88,24 +90,35 @@ class KeyedUpsertSink:
     def _read_buckets(
         self, spark: SparkSession, buckets: dict[str, str]
     ) -> DataFrame | None:
-        """Union of the requested buckets' snapshots, read ONE plan leg
-        per distinct epoch DIRECTORY (not per bucket): a per-leaf-dir
-        read costs a sequential driver-side footer/schema pass per
-        bucket (measured: ~5 s of pure plan build for 60 buckets) and a
-        scan stage per leg; a per-dir read with a partition-pruned
-        ``__bucket IN (...)`` filter plans once per dir — legs are
-        bounded by retained epochs, and the untouched leaf dirs are
-        skipped by partition pruning (asserted in tests via the scan's
-        PartitionFilters)."""
+        """Union of the requested buckets' snapshots, ONE plan leg per
+        distinct epoch DIRECTORY, each leg listing ONLY its touched
+        ``__bucket=N`` leaf paths. Two measured plan-build sinks die
+        here: a per-leaf ``spark.read.parquet`` pays a sequential
+        driver-side footer/schema pass per bucket (~5 s for 60), and a
+        per-dir partition-discovery read lists every leaf under the dir
+        (~0.7 s x dirs at 1024 buckets). Explicit leaf paths list only
+        what the caller asked for, and the per-dir schema is cached on
+        the sink — epoch dirs are immutable once the manifest publishes
+        them (the crash-safety invariant), so the first inference holds
+        for the dir's lifetime. Legs are bounded by retained epoch dirs
+        (``compact()`` folds them back to one); schema may still evolve
+        ACROSS dirs via the unionByName."""
         by_dir: dict[str, list[int]] = {}
         for b, epoch_dir in buckets.items():
             by_dir.setdefault(epoch_dir, []).append(int(b))
-        frames = [
-            spark.read.parquet(os.path.join(self.path, d))
-            .filter(F.col("__bucket").isin(bs))
-            .drop("__bucket")
-            for d, bs in by_dir.items()
-        ]
+        frames = []
+        for d, bs in by_dir.items():
+            paths = [
+                os.path.join(self.path, d, f"__bucket={b}") for b in sorted(bs)
+            ]
+            reader = spark.read
+            cached = self._dir_schema.get(d)
+            if cached is not None:
+                reader = reader.schema(cached)
+            frame = reader.parquet(*paths)
+            if cached is None:
+                self._dir_schema[d] = frame.schema
+            frames.append(frame)
         if not frames:
             return None
         out = frames[0]
@@ -183,26 +196,18 @@ class KeyedUpsertSink:
         touched = sorted(r[0] for r in batch.select("__bucket").distinct().collect())
         if not touched:
             return
-        # group touched buckets by the epoch dir that currently owns them:
-        # ONE partition-discovered read per distinct dir (plan legs scale
-        # with #dirs — bounded by retained epochs and collapsing as new
-        # epochs rewrite buckets — not with #touched buckets), and the
-        # bucket restriction is a partition-pruned IN filter, so only the
-        # touched __bucket=N leaf dirs are ever listed or scanned
-        by_dir: dict[str, list[int]] = {}
-        for b in touched:
-            if str(b) in manifest:
-                by_dir.setdefault(manifest[str(b)], []).append(b)
-        existing = []
-        for d, bs in by_dir.items():
-            existing.append(
-                spark.read.parquet(os.path.join(self.path, d)).filter(
-                    F.col("__bucket").isin(bs)
-                )
-            )
+        # merge in the touched buckets' current snapshots via the shared
+        # leaf-path read (one plan leg per owning dir, only touched
+        # leaves listed, per-dir schema cached — see _read_buckets)
+        probed = {str(b): manifest[str(b)] for b in touched if str(b) in manifest}
+        existing = self._read_buckets(spark, probed) if probed else None
         merged = batch
-        for f in existing:
-            merged = merged.unionByName(f, allowMissingColumns=True)
+        if existing is not None:
+            # __bucket is recomputed from the key (same hash, same value)
+            merged = merged.unionByName(
+                existing.withColumn("__bucket", self._bucket_expr()),
+                allowMissingColumns=True,
+            )
         order = [F.desc(order_col)]
         if order_col != "__epoch":
             order.append(F.desc("__epoch"))  # epoch as tiebreak for equal order values
@@ -237,8 +242,39 @@ class KeyedUpsertSink:
         for name in os.listdir(self.path):
             if name.startswith("epoch-") and name not in referenced:
                 shutil.rmtree(os.path.join(self.path, name))
+                self._dir_schema.pop(name, None)
                 removed.append(name)
         return removed
+
+    def compact(self, spark: SparkSession) -> str | None:
+        """Rewrite every live bucket into ONE fresh epoch directory and
+        vacuum the rest — the OPTIMIZE/compaction step of the
+        copy-on-write layout. Each upsert epoch strands its touched
+        buckets in a new directory, so read plan legs (and driver-side
+        listing) grow linearly with epochs since the last full rewrite;
+        compaction folds them back to one leg. Same reader caveat as
+        vacuum: call between streaming runs / epochs, when no reader
+        holds a pre-publish manifest. Returns the new directory name,
+        or None on an empty store. Cost is one full store rewrite —
+        amortize it (tools/stream_bench.py --compact-every N)."""
+        manifest = self._read_manifest()
+        if not manifest:
+            return None
+        if len(set(manifest.values())) == 1:
+            return next(iter(manifest.values()))  # already compact
+        full = self._read_buckets(spark, manifest)
+        epoch_ids = [
+            int(d.split("-")[1]) for d in set(manifest.values())
+        ]
+        new_dir = self._fresh_epoch_dir(max(epoch_ids) + 1, manifest)
+        full.withColumn("__bucket", self._bucket_expr()).repartition(
+            F.col("__bucket")
+        ).write.mode("overwrite").partitionBy("__bucket").parquet(
+            os.path.join(self.path, new_dir)
+        )
+        self._publish_manifest({b: new_dir for b in manifest})
+        self.vacuum()
+        return new_dir
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch``. Deliberately does NOT

@@ -1148,11 +1148,10 @@ def test_read_for_keys_bucket_pruned_probe_parity(spark, tmp_path):
         (r.k, r.v) for r in probe.join(df, "k", "inner").collect()
     )
     assert hit(pruned) == hit(full) == [("key17", 17), ("key3", 33)]
-    # pruning is real: the probe plan carries a partition filter on the
-    # bucket column (untouched __bucket=N leaf dirs are skipped at scan
-    # planning), and the pruned frame holds a strict subset of the store
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "__bucket" in plan and " IN " in plan
+    # pruning is real: only the probed buckets' leaf files are even
+    # LISTED (read_for_keys passes explicit leaf paths), so the pruned
+    # frame's file set is a strict subset of the full store's
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
     assert pruned.count() < full.count()
     assert sink.read_for_keys(spark.createDataFrame([], "k string")) is None
 
@@ -1200,3 +1199,34 @@ def test_near_dedup_gate_epoch_within_trigger_sla(spark, tmp_path):
         assert dt < 10.0, f"epoch {epoch} took {dt:.1f}s (> 10s trigger SLA)"
 
     assert spark.read.parquet(str(out)).count() == 100
+
+
+def test_keyed_sink_compact_folds_dirs(spark, tmp_path):
+    """compact() folds a fragmented manifest (one dir per epoch) back to
+    ONE directory with identical contents, and vacuums the strays —
+    read plan legs and driver-side listing grow with epochs since the
+    last full rewrite, so compaction is what bounds them."""
+    import os
+
+    sink = KeyedUpsertSink(str(tmp_path / "kv"), key="k", n_buckets=8)
+    for e in range(1, 4):
+        sink.upsert_batch(
+            spark.createDataFrame(
+                [(f"key{e}{i}", e * 100 + i) for i in range(6)],
+                "k string, v long",
+            ),
+            e,
+        )
+    before = sorted((r.k, r.v) for r in sink.read(spark).collect())
+    assert len(set(sink._read_manifest().values())) > 1  # fragmented
+
+    new_dir = sink.compact(spark)
+    assert new_dir is not None
+    manifest = sink._read_manifest()
+    assert set(manifest.values()) == {new_dir}
+    after = sorted((r.k, r.v) for r in sink.read(spark).collect())
+    assert after == before
+    dirs = [d for d in os.listdir(tmp_path / "kv") if d.startswith("epoch-")]
+    assert dirs == [new_dir]  # strays vacuumed
+    # idempotent: a second compact is a no-op returning the same dir
+    assert sink.compact(spark) == new_dir

@@ -57,23 +57,32 @@ def seed_store(spark, store: KeyedUpsertSink, n_keys: int) -> None:
         F.concat(
             (F.col("id") % 4).cast("string"), F.lit(":"), F.md5(F.col("id").cast("string"))
         ).alias("band_key"),
-        F.concat(F.lit("seed"), F.col("id").cast("string")).alias("first_doc_id"),
+        # negative longs: disjoint from real doc ids AND type-compatible
+        # with the documents table's BIGINT doc_id (the upsert unions
+        # batch and store rows, so first_doc_id types must line up)
+        (-F.col("id") - 1).alias("first_doc_id"),
     )
     store.upsert_batch(keys, epoch_id=0)
 
 
 def epoch_batch(spark, sf_dir: str, n_docs: int, epoch: int):
-    """n_docs documents with every token epoch-tagged (each epoch's
-    shingles — hence band keys — are disjoint from every other's and
-    from the synthetic seed, so the gate sees an all-novel batch)."""
+    """n_docs documents with every token (epoch, doc)-tagged: each
+    DOCUMENT's shingles are disjoint from every other document's and
+    every other epoch's, so the gate sees a genuinely all-novel batch.
+    (A plain epoch-level tag preserves the corpus's built-in near-dup
+    pairs — both members get identical tags — and the within-batch
+    single-linkage then drops ~70% of the batch, which is the gate
+    working, not an all-novel workload.)"""
     docs = load_table(spark, sf_dir, "documents").limit(n_docs)
+    tag = F.concat(F.lit(f" e{epoch}d"), F.col("doc_id").cast("string"), F.lit(" "))
     return docs.withColumn(
-        "text", F.regexp_replace(F.col("text"), " ", f" e{epoch}x ")
+        "text", F.regexp_replace(F.col("text"), F.lit(" "), tag)
     )
 
 
 def drive(spark, sf_dir: str, store_path: str, seed_keys: int, epochs: int,
-          batch_docs: int, n_buckets: int, full_read: bool) -> list[dict]:
+          batch_docs: int, n_buckets: int, full_read: bool,
+          compact_every: int = 0) -> list[dict]:
     if os.path.exists(store_path):
         shutil.rmtree(store_path)
     store = KeyedUpsertSink(store_path, key="band_key", n_buckets=n_buckets)
@@ -113,6 +122,10 @@ def drive(spark, sf_dir: str, store_path: str, seed_keys: int, epochs: int,
             "buckets_touched": touched,
         }
         store_rows += forwarded[-1] * 4  # 8 hashes / 2 rows-per-band = 4 keys/doc
+        if compact_every and e % compact_every == 0:
+            t0 = time.perf_counter()
+            store.compact(spark)
+            row["compact_seconds"] = round(time.perf_counter() - t0, 3)
         out.append(row)
         print(f"# {row}", file=sys.stderr)
     return out
@@ -128,14 +141,19 @@ def main() -> int:
     ap.add_argument("--n-buckets", type=int, default=1024)
     ap.add_argument("--full-read", action="store_true",
                     help="ALSO measure the naive full-store probe for comparison")
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="compact() the store every N epochs (0 = never): bounds "
+                    "the read-leg growth that manifest fragmentation causes")
     ns = ap.parse_args()
     spark = get_spark()
     result = {
         "seed_keys": ns.seed_keys,
         "batch_docs": ns.batch_docs,
         "n_buckets": ns.n_buckets,
+        "compact_every": ns.compact_every,
         "pruned": drive(spark, ns.sf_dir, ns.store, ns.seed_keys, ns.epochs,
-                        ns.batch_docs, ns.n_buckets, full_read=False),
+                        ns.batch_docs, ns.n_buckets, full_read=False,
+                        compact_every=ns.compact_every),
     }
     if ns.full_read:
         result["full_read"] = drive(
