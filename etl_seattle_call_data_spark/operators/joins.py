@@ -72,6 +72,83 @@ def salted_join(
     return f.join(d, on + ["__salt"], how).drop("__salt")
 
 
+def hot_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_by: str,
+    n_salts: int = 8,
+    hot_share_ppm: int = 10_000,
+    max_hot_keys: int = 64,
+) -> DataFrame:
+    """Differentiated (hot-key-only) salting: identical results to
+    ``fact.join(dim, on, "inner")`` but ONLY the detected heavy-hitter
+    keys are salted — cold keys join unsalted, and the dim replicates
+    just its hot rows, so the rewrite costs n_salts x |hot keys| extra
+    dim rows instead of ``salted_join``'s n_salts x |dim|.
+
+    Why this exists (measured, tools/skew_bench.py): blanket salting
+    only pays when the dim is far smaller than the fact; with a
+    2M-row part dim against a 6M-row lineitem, replicating the dim 8x
+    costs MORE than the hot key's straggler saves. Production engines
+    therefore salt differentially. At 100 TB the hot set is what one
+    reducer drowns in — a key owning 1% of a 100 TB fact table sends
+    1 TB through a single task no matter how many executors exist.
+
+    Hot-key detection is one fact-side aggregate: keys with more than
+    ``hot_share_ppm`` of fact rows (default 1%), capped at
+    ``max_hot_keys`` — a bounded driver collect (the same legitimate
+    class as ranking.py's bucket offsets: heavy hitters above a share
+    floor are at most 1e6/hot_share_ppm keys by pigeonhole). The hot
+    list is broadcast into both sides' salt expressions.
+
+    Inner joins only (the cold/hot split unions two inner legs;
+    outer-variants would need unmatched-row reconciliation across the
+    legs — use salted_join's fact-preserving forms there)."""
+    counts = (
+        fact.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .crossJoin(
+            F.broadcast(fact.agg(F.count(F.lit(1)).alias("__tot")))
+        )
+        .filter(F.col("__n") * 1_000_000 > F.col("__tot") * hot_share_ppm)
+        .orderBy(F.desc("__n"), *on)
+        .limit(max_hot_keys)
+    )
+    hot = [tuple(r[c] for c in on) for r in counts.collect()]
+    if not hot:
+        return fact.join(dim, on, "inner")
+    # single-column keys dominate; build an IN-style membership predicate
+    key_struct = F.struct(*[F.col(c) for c in on])
+    hot_lit = F.array(
+        *[
+            F.struct(*[F.lit(v).alias(c) for c, v in zip(on, key)])
+            for key in hot
+        ]
+    )
+    is_hot = F.array_contains(hot_lit, key_struct)
+    f = fact.withColumn(
+        "__salt",
+        F.when(
+            is_hot,
+            F.pmod(F.xxhash64(F.col(salt_by).cast("string")), F.lit(n_salts)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    d = dim.withColumn(
+        "__salt",
+        # generators can't nest in expressions: explode the int array
+        # directly (sequence/array of int literals is already array<int>)
+        F.explode(
+            F.when(is_hot, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ),
+    )
+    return f.join(d, on + ["__salt"], "inner").drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -59,6 +59,37 @@ def test_salted_join_matches_plain_join(spark):
     assert salted_left == plain_left  # unmatched fact row kept with null
 
 
+def test_hot_salted_join_matches_plain_join(spark):
+    """Differentiated salting: a zipfian head key (~60% of fact rows)
+    triggers detection and salting; cold keys stay unsalted; rows match
+    the plain inner join exactly. No-hot-key inputs skip the rewrite."""
+    fact = spark.createDataFrame(
+        [(i, 7) for i in range(90)] + [(1000 + i, i % 3) for i in range(60)],
+        ["row_id", "k"],
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (7, "hot")], ["k", "name"]
+    )
+    plain = {(r.row_id, r.name) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r.row_id, r.name)
+        for r in joins.hot_salted_join(
+            fact, dim, ["k"], salt_by="row_id", n_salts=4
+        ).collect()
+    }
+    assert salted == plain
+    # uniform input: detector finds no heavy hitter, plain join returned
+    uni = spark.createDataFrame([(i, i % 200) for i in range(400)], ["row_id", "k"])
+    udim = spark.createDataFrame([(i, f"v{i}") for i in range(200)], ["k", "name"])
+    out = {
+        (r.row_id, r.name)
+        for r in joins.hot_salted_join(
+            uni, udim, ["k"], salt_by="row_id", n_salts=4
+        ).collect()
+    }
+    assert out == {(r.row_id, r.name) for r in uni.join(udim, "k").collect()}
+
+
 def test_profile_table_exact_and_approx(spark):
     df = spark.createDataFrame(
         [(1, "a", 1.0), (2, "a", 2.0), (3, None, 3.0), (4, "b", None)],

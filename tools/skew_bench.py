@@ -49,7 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F
 
-from etl_seattle_call_data_spark.operators.joins import salted_join
+from etl_seattle_call_data_spark.operators.joins import hot_salted_join, salted_join
 from etl_seattle_call_data_spark.session import get_spark
 from etl_seattle_call_data_spark.sources.registry import load_table
 
@@ -66,9 +66,13 @@ def _workloads(spark, sf_dir: str, n_salts: int):
             .groupBy("p_brand")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("double")
-                .alias("rev"),
+                # exact integer cents: double summation is order-dependent
+                # and the three variants sum in different orders (rule 1)
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                ).alias("rev_cents"),
             )
         )
 
@@ -84,9 +88,11 @@ def _workloads(spark, sf_dir: str, n_salts: int):
             .groupBy("p_brand")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("double")
-                .alias("rev"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                ).alias("rev_cents"),
             )
         )
 
@@ -96,7 +102,9 @@ def _workloads(spark, sf_dir: str, n_salts: int):
             .groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum("o_totalprice").cast("double").alias("rev"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                    "rev_cents"
+                ),
             )
         )
 
@@ -112,13 +120,53 @@ def _workloads(spark, sf_dir: str, n_salts: int):
             .groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum("o_totalprice").cast("double").alias("rev"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                    "rev_cents"
+                ),
+            )
+        )
+
+    def li_hot_salted() -> DataFrame:
+        return (
+            hot_salted_join(
+                li,
+                part.withColumnRenamed("p_partkey", "l_partkey"),
+                ["l_partkey"],
+                salt_by="l_orderkey",
+                n_salts=n_salts,
+            )
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("bigint")
+                ).alias("rev_cents"),
+            )
+        )
+
+    def ord_hot_salted() -> DataFrame:
+        return (
+            hot_salted_join(
+                orders,
+                cust.withColumnRenamed("c_custkey", "o_custkey"),
+                ["o_custkey"],
+                salt_by="o_orderkey",
+                n_salts=n_salts,
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                    "rev_cents"
+                ),
             )
         )
 
     return {
-        "lineitem_x_part": (li_unsalted, li_salted),
-        "orders_x_customer": (ord_unsalted, ord_salted),
+        "lineitem_x_part": (li_unsalted, li_salted, li_hot_salted),
+        "orders_x_customer": (ord_unsalted, ord_salted, ord_hot_salted),
     }
 
 
@@ -156,13 +204,14 @@ def main() -> int:
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
     out: dict[str, dict[str, float]] = {}
-    for wl_name, (unsalted, salted) in _workloads(
+    for wl_name, (unsalted, salted, hot_salted) in _workloads(
         spark, ns.sf_dir, ns.n_salts
     ).items():
-        # correctness parity first: all three variants, identical rows
+        # correctness parity first: all four variants, identical rows
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         base_rows = _rows(unsalted())
         assert _rows(salted()) == base_rows, f"{wl_name}: salted rows diverge"
+        assert _rows(hot_salted()) == base_rows, f"{wl_name}: hot-salted diverge"
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         assert _rows(unsalted()) == base_rows, f"{wl_name}: aqe rows diverge"
 
@@ -170,11 +219,12 @@ def main() -> int:
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         timings["unsalted"] = _time(unsalted, ns.reps)
         timings["salted"] = _time(salted, ns.reps)
+        timings["hot_salted"] = _time(hot_salted, ns.reps)
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         timings["aqe_skew"] = _time(unsalted, ns.reps)
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        timings["speedup_salted_vs_unsalted"] = round(
-            timings["unsalted"] / timings["salted"], 2
+        timings["speedup_hot_salted_vs_unsalted"] = round(
+            timings["unsalted"] / timings["hot_salted"], 2
         )
         out[wl_name] = timings
         print(f"# {wl_name}: {timings}", file=sys.stderr)
