@@ -44,6 +44,12 @@ def main() -> int:
     spark = get_spark()
     timings: dict[str, float] = {}
     for name in ns.names:
+        # evict BETWEEN queries: a subset run at sf10 in one JVM OOMs on
+        # accumulated memoized caches (shingle/edge tables) otherwise,
+        # and per-query eviction keeps small-SF vs large-SF timings
+        # comparable (each query pays its own cache builds at both SFs)
+        clear_caches()
+        spark.catalog.clearCache()
         best, rows = None, 0
         for _ in range(ns.reps):
             t0 = time.perf_counter()
@@ -52,6 +58,7 @@ def main() -> int:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={rows}", file=sys.stderr)
+        sys.stderr.flush()
     clear_caches()
     doc = {
         "metric": "subset_query_wall_seconds",
