@@ -462,22 +462,48 @@ def simhash_pairs(
     sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with Hamming(simhash) ≤ max_hamming, found via
-    4-band blocking (15 bits each). Pigeonhole: ≤3 differing bits cannot
-    straddle all 4 bands, so recall is exact for max_hamming ≤ 3."""
-    assert max_hamming <= 3, "4-band blocking is only exact for hamming <= 3"
+    combination blocking (Manku et al., WWW'07 block-permutation scheme):
+    the 60-bit signature splits into 6 sub-blocks of 10 bits; ≤3
+    differing bits touch ≤3 sub-blocks, so ≥3 sub-blocks are untouched
+    and every qualifying pair agrees on at least one of the C(6,3)=20
+    sub-block TRIPLES — recall is exact by pigeonhole, same as banding.
+
+    Why triples and not the naive 4×15-bit bands: band blocking keys
+    into a FIXED 2^15 space, so candidate volume is n²·4/2^15 — a
+    constant-block quadratic (the class the round-8 audit flagged).
+    Triple keys are 30 bits: candidate volume ≈ n²·20/2^30 for
+    SimHash-uniform fingerprints, 1638× lower, at the cost of 20 keys
+    per doc instead of 4 (a bounded 5× explode). The residual
+    fixed-width quadratic term is inherent to ANY fixed-width
+    fingerprint; past ~10^9 docs the production answer is widening the
+    fingerprint so key bits track log2(n) — a config change, not a
+    plan change. Output pairs are IDENTICAL to band blocking (the
+    blocking is internal; the pair set is defined by Hamming ≤ 3)."""
+    assert max_hamming <= 3, "3-of-6 sub-block triples are only exact for hamming <= 3"
     # persist: the signature table (one row/doc) feeds BOTH sides of the
     # band self-join; without it the tokenize+60-agg pipeline runs twice.
     # Callers holding an already-persisted signature table (plans layer
     # memoization) pass it via ``sig`` and skip the rebuild entirely.
     if sig is None:
         sig = cache_swap("simhash_sig", simhash(df, id_col, text_col))
+
+    def sub(i: int):
+        return F.shiftright(F.col("simhash"), i * 10).bitwiseAND(F.lit((1 << 10) - 1))
+
+    combos = [
+        (i, j, k) for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
+    ]
     bands = F.array(
         *[
             F.struct(
-                F.lit(i).alias("band_idx"),
-                F.shiftright(F.col("simhash"), i * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("band_val"),
+                F.lit(ci).alias("band_idx"),
+                (
+                    sub(i)
+                    + sub(j) * F.lit(1 << 10)
+                    + sub(k) * F.lit(1 << 20)
+                ).cast("long").alias("band_val"),
             )
-            for i in range(4)
+            for ci, (i, j, k) in enumerate(combos)
         ]
     )
     banded = sig.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
@@ -527,6 +553,101 @@ def cluster_representatives(
             components.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members")),
             on="cluster_id",
         )
+    )
+
+
+def passjoin_candidate_pairs(
+    names: DataFrame,
+    string_col: str,
+    k: int = 3,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Edit-distance candidate pairs via PassJoin chunk keys (Li, Deng,
+    Feng — SIGMOD'11 partition scheme): each string splits into k+1
+    even chunks; if ed(a, b) <= k then at least one of a's chunks is
+    untouched by any edit and therefore appears in b VERBATIM at a
+    position shifted by at most k (the net insert/delete drift before
+    it). Candidates come from an equi-join on
+    (block_cols..., chunk_index, source_length, substring) — content
+    keys whose cardinality scales with the corpus, never a fixed block
+    space.
+
+    Scale story: build side emits k+1 keys per string, probe side
+    (2k+1) candidate source-lengths x (k+1) chunks x (2k+1) shifts
+    (= 196 at k=3) — a BOUNDED constant fan-out, after which candidate
+    volume is driven by actual near-identical content, not block²
+    (first-token blocking over a fixed name vocabulary is O(n²/vocab):
+    the constant-block quadratic the round-8 audit hunts). Recall is
+    EXACT within a block, so callers' verify step (levenshtein <= k)
+    reproduces the plain blocked join's pair set row for row.
+
+    Returns distinct candidate pairs (name_a, name_b) with
+    name_a < name_b; the caller applies the levenshtein verify."""
+    m = k + 1
+    base = names.select(
+        F.col(string_col).alias("__s"),
+        *(block_cols or []),
+    ).withColumn("__len", F.length("__s"))
+
+    def base_len(length):  # length DIV m (Columns have no //)
+        return F.floor(length / m).cast("long")
+
+    def chunk_start(ci, length):  # 0-based
+        return ci * base_len(length) + F.least(ci, length % m)
+
+    def chunk_len(ci, length):
+        return base_len(length) + F.when(ci < length % m, 1).otherwise(0)
+
+    ci = F.col("__ci")
+    build = base.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("__ci")
+    ).select(
+        *(block_cols or []),
+        F.col("__s").alias("name_a"),
+        ci.alias("ci"),
+        F.col("__len").alias("la"),
+        F.substring(
+            F.col("__s"),
+            (chunk_start(ci, F.col("__len")) + 1).cast("int"),
+            chunk_len(ci, F.col("__len")).cast("int"),
+        ).alias("sub"),
+    )
+    la = F.col("__la")
+    probe = (
+        base.select(
+            "*",
+            F.explode(F.sequence(F.col("__len") - k, F.col("__len") + k)).alias("__la"),
+        )
+        .filter(la >= 0)
+        .select(
+            "*", F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("__ci")
+        )
+        .select(
+            "*", F.explode(F.array(*[F.lit(s) for s in range(-k, k + 1)])).alias("__shift")
+        )
+        .withColumn("__pos", chunk_start(ci, la) + F.col("__shift"))
+        .filter(
+            (F.col("__pos") >= 0)
+            & (F.col("__pos") + chunk_len(ci, la) <= F.col("__len"))
+        )
+        .select(
+            *(block_cols or []),
+            F.col("__s").alias("name_b"),
+            ci.alias("ci"),
+            la.alias("la"),
+            F.substring(
+                F.col("__s"),
+                (F.col("__pos") + 1).cast("int"),
+                chunk_len(ci, la).cast("int"),
+            ).alias("sub"),
+        )
+    )
+    on = (block_cols or []) + ["ci", "la", "sub"]
+    return (
+        build.join(probe, on)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
     )
 
 

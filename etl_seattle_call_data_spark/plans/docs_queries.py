@@ -367,8 +367,11 @@ def _memo_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    "SimHash near-dup pairs (Hamming ≤ 3) via 4×15-bit band blocking — "
-    "pigeonhole-exact recall, equi-join candidate generation.",
+    "SimHash near-dup pairs (Hamming ≤ 3) via 3-of-6 sub-block "
+    "combination blocking (Manku-style, 30-bit keys — candidate volume "
+    "n²·20/2^30, not the 4×15 band join's n²·4/2^15) — pigeonhole-exact "
+    "recall, equi-join candidate generation; the oracle keeps the "
+    "simpler band join (recall-exact too, so the pair sets coincide).",
     f"""
     WITH {_simhash_cte()},
     bands AS (

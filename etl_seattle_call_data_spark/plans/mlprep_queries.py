@@ -284,16 +284,29 @@ def q_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale story: the oracle's first-token block join is quadratic on
+    vocabulary-bounded name data (TPC-H first tokens come from a fixed
+    ~92-color vocabulary, so block sizes grow LINEARLY with the part
+    table — O(n²/92) pairs, the constant-block class the round-8 audit
+    flagged). The engine side therefore generates candidates with
+    PassJoin chunk keys WITHIN the block
+    (operators/dedup.py::passjoin_candidate_pairs — exact recall for
+    levenshtein <= 3 by the untouched-chunk pigeonhole), so its
+    candidate volume is bounded-constant fan-out + genuinely-near-
+    identical content, and the levenshtein verify reproduces the
+    oracle's pair set exactly. The quadratic survives only in the
+    DuckDB oracle, which runs at gate SFs only."""
+    from etl_seattle_call_data_spark.operators import dedup
+
     p = load_table(spark, sf_dir, "part")
     names = p.select(
         "p_name", F.split(F.col("p_name"), " ").getItem(0).alias("blk")
     ).distinct()
-    a = names.select(F.col("p_name").alias("name_a"), F.col("blk"))
-    b = names.select(F.col("p_name").alias("name_b"), F.col("blk"))
+    cand = dedup.passjoin_candidate_pairs(
+        names, string_col="p_name", k=3, block_cols=["blk"]
+    )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        a.join(b, "blk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .filter(dist <= 3)
+        cand.filter(dist <= 3)
         .select("name_a", "name_b", dist.cast("int").alias("edit_dist"))
     )

@@ -114,7 +114,8 @@ def q_heavy_hitters_candidate_verify(
 # Embedding similarity histogram: same-label vs hash-bucket pairs
 # ---------------------------------------------------------------------------
 
-_ESH_HASH_BUCKETS = 64
+_ESH_MIN_BUCKETS = 64
+_ESH_TARGET_BLOCK = 200
 
 
 @register(
@@ -123,14 +124,15 @@ _ESH_HASH_BUCKETS = 64
     "calibration: the decile histogram (floor(cos*10) buckets) of "
     "two pair populations — same-label pairs (the blocked equi-join "
     "every dedup pass uses) vs pseudo-random pairs from a portable "
-    "md5-hash bucket join (64 buckets — the deterministic stand-in "
-    "for random sampling, fan-out (n/64)^2 per bucket, never "
-    "corpus^2). Separation between the two histograms is what "
-    "justifies a dedup threshold; recall evals (dedup_lsh_recall_"
-    "eval) assume a threshold, this query shows WHERE to put it. "
-    "Quantized integer dot products (rule 9), one exact IEEE "
-    "division per cosine, floor to deciles (rule 5), share in "
-    "truncated ppm (rule 4).",
+    "md5-hash bucket join whose bucket COUNT scales with corpus size "
+    "(GREATEST(64, n/200) buckets, so expected membership stays ~200 "
+    "and total pair fan-out is O(n*200), never corpus^2 — the "
+    "deterministic stand-in for random sampling). Separation between "
+    "the two histograms is what justifies a dedup threshold; recall "
+    "evals (dedup_lsh_recall_eval) assume a threshold, this query "
+    "shows WHERE to put it. Quantized integer dot products (rule 9), "
+    "one exact IEEE division per cosine, floor to deciles (rule 5), "
+    "share in truncated ppm (rule 4).",
     f"""
     WITH w AS (
       SELECT vec_id, label,
@@ -141,7 +143,9 @@ _ESH_HASH_BUCKETS = 64
                     * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
                AS BIGINT) AS n2,
              ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-               % {_ESH_HASH_BUCKETS} AS hb
+               % GREATEST({_ESH_MIN_BUCKETS},
+                          (SELECT COUNT(*) FROM embeddings)
+                            // {_ESH_TARGET_BLOCK}) AS hb
       FROM embeddings
     ),
     pairs AS (
@@ -173,13 +177,27 @@ _ESH_HASH_BUCKETS = 64
 def q_embedding_similarity_histogram(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Scale story: the hash-bucket pair population is O(n), not O(n^2).
+
+    Bucket count = max(64, n/200) grows linearly with the corpus, so
+    expected bucket membership is a CONSTANT ~200 rows and total pair
+    fan-out is ~n*100 — at 10x the data, 10x the buckets and 10x the
+    pairs (round-8 review measured the old fixed-64 variant at x100
+    pairs per decade: 31k -> 3.1M -> 312M across sf0.1/1/10; this
+    bounds it). The single driver-side count() is a parquet-metadata
+    scan, not a data collect. Same-label blocks were independently
+    verified to stay ~200 rows at every SF (label cardinality scales
+    with n).
+    """
     from etl_seattle_call_data_spark.operators.similarity import with_quantized
 
-    emb = with_quantized(load_table(spark, sf_dir, "embeddings")).withColumn(
+    base = load_table(spark, sf_dir, "embeddings")
+    n_buckets = max(_ESH_MIN_BUCKETS, base.count() // _ESH_TARGET_BLOCK)
+    emb = with_quantized(base).withColumn(
         "hb",
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
-        % _ESH_HASH_BUCKETS,
+        % F.lit(n_buckets),
     ).select("vec_id", "label", "hb", "qvec", "qnorm2")
 
     def pop(on: str, name: str) -> DataFrame:

@@ -54,6 +54,61 @@ def test_simhash_pairs_hamming_zero(docs):
     assert pairs.get((1, 2)) == 0
 
 
+def test_passjoin_candidates_exact_recall(spark):
+    """PassJoin candidate recall vs the brute-force truth: every pair
+    with levenshtein <= k MUST be a candidate (the untouched-chunk
+    pigeonhole), on a stress set with substitutions, inserts, deletes,
+    length skews, and short strings."""
+    names = [
+        "almond antique blue royal",
+        "almond antique blue rose",       # tail sub/indel, ed 3
+        "almond antique blue royalX",     # 1 insert
+        "almond antiqe blue royal",       # 1 delete mid
+        "Xlmond antique blue royal",      # 1 sub at pos 0
+        "almond vintage blue royal",      # ed > 3 from most
+        "zebra",
+        "zebras",                         # 1 insert
+        "zeb",                            # 2 deletes
+        "ab",                             # short strings (empty chunks)
+        "abc",
+        "qq",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    cand = {
+        (r.name_a, r.name_b)
+        for r in dedup.passjoin_candidate_pairs(df, "name", k=3).collect()
+    }
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    truth = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if lev(a, b) <= 3:
+                truth.add(tuple(sorted((a, b))))
+    assert truth, "stress set must contain true pairs"
+    missing = truth - cand
+    assert not missing, f"PassJoin missed true pairs: {missing}"
+    # and the verify step reproduces the truth exactly
+    verified = {(a, b) for (a, b) in cand if lev(a, b) <= 3}
+    assert verified == truth
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark):
     rows = [
         (0, [1.0, 0.0, 0.0], 0),
