@@ -105,8 +105,15 @@ def hot_salted_join(
     Inner joins only (the cold/hot split unions two inner legs;
     outer-variants would need unmatched-row reconciliation across the
     legs — use salted_join's fact-preserving forms there)."""
+    # NULL keys never match an inner equi-join, so they need no salting
+    # — and a NULL heavy hitter (the classic null-FK skew case) would
+    # otherwise produce a void-typed literal that breaks array_contains
+    not_null = F.lit(True)
+    for c in on:
+        not_null = not_null & F.col(c).isNotNull()
     counts = (
-        fact.groupBy(*on)
+        fact.filter(not_null)
+        .groupBy(*on)
         .agg(F.count(F.lit(1)).alias("__n"))
         .crossJoin(
             F.broadcast(fact.agg(F.count(F.lit(1)).alias("__tot")))
@@ -118,11 +125,23 @@ def hot_salted_join(
     hot = [tuple(r[c] for c in on) for r in counts.collect()]
     if not hot:
         return fact.join(dim, on, "inner")
-    # single-column keys dominate; build an IN-style membership predicate
-    key_struct = F.struct(*[F.col(c) for c in on])
+    # single-column keys dominate; build an IN-style membership predicate.
+    # Cast every literal to the fact column's exact type: Python-literal
+    # inference (int -> bigint, Decimal/str quirks) would otherwise make
+    # the struct types mismatch and fail array_contains analysis on
+    # int32/decimal keys.
+    key_types = {c: fact.schema[c].dataType for c in on}
+    # cast the probe side too: is_hot is evaluated against BOTH frames,
+    # and dim may carry a narrower key type than fact
+    key_struct = F.struct(*[F.col(c).cast(key_types[c]).alias(c) for c in on])
     hot_lit = F.array(
         *[
-            F.struct(*[F.lit(v).alias(c) for c, v in zip(on, key)])
+            F.struct(
+                *[
+                    F.lit(v).cast(key_types[c]).alias(c)
+                    for c, v in zip(on, key)
+                ]
+            )
             for key in hot
         ]
     )

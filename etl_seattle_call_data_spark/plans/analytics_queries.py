@@ -412,6 +412,43 @@ def q_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hot_salted_join_parity",
+    "Differentiated (hot-key-only) salted join — result-identical to "
+    "the plain inner join on a key with a MANUFACTURED 30%-hot head "
+    "(3 of every 10 orders remapped to custkey 1) plus a NULL stripe "
+    "(1 in 10 — inner-join-dropped on both engines, exercising the "
+    "null-FK skew path). Only detected heavy hitters are salted, so "
+    "dim replication is n_salts x |hot keys| rows, not n_salts x |dim| "
+    "(operators/joins.py::hot_salted_join; measured 15.6 s unsalted vs "
+    "10.6 s at sf10/50%-hot, tools/skew_bench.py).",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 9 THEN NULL
+                WHEN o_orderkey % 10 < 3 THEN 1
+                ELSE o_custkey END AS hot_custkey,
+           c_name
+    FROM orders JOIN customer
+      ON (CASE WHEN o_orderkey % 10 = 9 THEN NULL
+               WHEN o_orderkey % 10 < 3 THEN 1
+               ELSE o_custkey END) = c_custkey
+    """,
+)
+def q_hot_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "hot_custkey",
+        F.when(F.col("o_orderkey") % 10 == 9, F.lit(None).cast("long"))
+        .when(F.col("o_orderkey") % 10 < 3, F.lit(1).cast("long"))
+        .otherwise(F.col("o_custkey")),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("hot_custkey"), "c_name"
+    )
+    return joins.hot_salted_join(
+        o, c, on=["hot_custkey"], salt_by="o_orderkey", n_salts=8
+    ).select("o_orderkey", "hot_custkey", "c_name")
+
+
 # ---------------------------------------------------------------------------
 # Subquery shapes: EXISTS / NOT IN / disjunctive join predicates / top-k
 # report — the decorrelation patterns (TPC-H Q4/Q16/Q19/Q10 shapes) the

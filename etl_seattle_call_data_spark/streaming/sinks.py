@@ -77,6 +77,18 @@ class KeyedUpsertSink:
                 "automatic migration — re-materialize it through upsert_batch "
                 "into a fresh path"
             ) from exc
+        # A mismatched bucket count would make every pruned probe hash
+        # keys into the WRONG buckets and silently miss stored matches
+        # (the dedup gates would then forward duplicates) — fail loudly
+        # instead: the store's layout is fixed at creation.
+        stored_n = doc.get("n_buckets")
+        if stored_n is not None and stored_n != self.n_buckets:
+            raise ValueError(
+                f"{self.path} was created with n_buckets={stored_n} but this "
+                f"sink was constructed with n_buckets={self.n_buckets}; "
+                "bucket-pruned reads would probe the wrong buckets. Reopen "
+                "with the stored bucket count or re-materialize the store."
+            )
         return doc.get("buckets", {})
 
     def _publish_manifest(self, buckets: dict[str, str]) -> None:

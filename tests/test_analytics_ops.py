@@ -90,6 +90,30 @@ def test_hot_salted_join_matches_plain_join(spark):
     assert out == {(r.row_id, r.name) for r in uni.join(udim, "k").collect()}
 
 
+def test_hot_salted_join_null_and_int_keys(spark):
+    """The classic null-FK skew case: a NULL heavy-hitter key must not
+    break detection (void-typed literals fail array_contains analysis)
+    — nulls never match an inner equi-join, so they are excluded from
+    the hot list and the result still equals the plain join. Also
+    int32 keys: Python-literal inference is bigint, so the hot-list
+    literals must cast to the fact column's type."""
+    rows = [(i, None) for i in range(80)] + [(1000 + i, i % 3) for i in range(60)]
+    fact = spark.createDataFrame(rows, "row_id long, k int")
+    # make one NON-null key hot too so the salting path runs on int32
+    fact = fact.union(
+        spark.createDataFrame([(2000 + i, 2) for i in range(90)], "row_id long, k int")
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "hot")], "k int, name string")
+    plain = {(r.row_id, r.name) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r.row_id, r.name)
+        for r in joins.hot_salted_join(
+            fact, dim, ["k"], salt_by="row_id", n_salts=4
+        ).collect()
+    }
+    assert salted == plain
+
+
 def test_profile_table_exact_and_approx(spark):
     df = spark.createDataFrame(
         [(1, "a", 1.0), (2, "a", 2.0), (3, None, 3.0), (4, "b", None)],
