@@ -12,8 +12,18 @@ python tools/verify_oracle.py 2>&1 | tail -3 || fail=1
 echo "=== 1b/4 full oracle sweep (sf0.001 — emptiness bugs are SF-dependent) ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/verify_oracle.py 2>&1 | tail -2 || fail=1
 
+echo "=== 1c/4 full oracle sweep (near-degenerate SF — ANSI div-by-zero edges) ==="
+# 31 queries once shipped crashing on 1-row/constant/empty groups
+# (CROSS_ENGINE rules 40/41); this leg gates the invariant. The dataset
+# is generated once per workstation (gitignored) — build it on demand.
+if [ ! -d .scaledata/sfdegen ]; then
+  echo "(generating .scaledata/sfdegen via tools/make_degenerate_sf.py)"
+  python tools/make_degenerate_sf.py || fail=1
+fi
+SPARK_GRAFT_SF_DIR=.scaledata/sfdegen python tools/verify_oracle.py 2>&1 | tail -2 || fail=1
+
 if [ "${SPARK_GRAFT_FULL_SWEEP:-0}" = "1" ]; then
-  echo "=== 1c/4 full oracle sweep (sf0.1 — above-gate scale; ~12 min) ==="
+  echo "=== 1d/4 full oracle sweep (sf0.1 — above-gate scale; ~12 min) ==="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/verify_oracle.py 2>&1 | tail -2 || fail=1
 fi
 

@@ -5,6 +5,15 @@ via DuckDB on the same parquet tables.
 Usage:
     python tools/verify_oracle.py [query ...]      # default: all queries
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/verify_oracle.py
+    python tools/verify_oracle.py --tuned [query ...]   # NON-driver-sim
+
+--tuned swaps the driver-contract session (static 200 shuffle
+partitions, no AQE) for the engine's own tuned session
+(etl_seattle_call_data_spark.session.get_spark: AQE on, coalesce/skew
+adaptive). It exists ONLY for off-contract scale verification (sf1+,
+where the iterative composites are impractically slow under the static
+driver config); gate-SF sweeps must stay un-tuned so they simulate the
+driver exactly. The mode is labeled in the log.
 
 Canonicalization mirrors the driver's order-insensitive value compare:
 columns sorted by name, rows sorted, cells normalized (numpy scalars
@@ -55,24 +64,36 @@ def main() -> int:
     import __spark_entry__ as e
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    tuned = "--tuned" in argv
+    only = set(a for a in argv if not a.startswith("--"))
 
-    # Default-config session on local[8] = driver-contract simulation.
-    # For off-contract scale runs (sf1+), opt-in knobs size the JVM to
-    # the SF — the driver itself never runs those SFs:
-    #   SPARK_GRAFT_VERIFY_CPUS=16 SPARK_GRAFT_DRIVER_MEM=8g
-    builder = SparkSession.builder.master(
-        f"local[{os.environ.get('SPARK_GRAFT_VERIFY_CPUS', '8')}]"
-    )
-    # Full-registry sweeps (no query args) run 350+ queries in one JVM —
-    # far past the driver's own <= 50/session contract — so they get a
-    # bigger heap by default; targeted runs keep the stock driver config.
-    mem = os.environ.get(
-        "SPARK_GRAFT_DRIVER_MEM", None if only else "6g"
-    )
-    if mem:
-        builder = builder.config("spark.driver.memory", mem)
-    spark = builder.getOrCreate()
+    if tuned:
+        # NON-driver-sim: the engine's own AQE session, for off-contract
+        # scale verification only (sf1+). Correctness semantics are
+        # config-independent; this changes plan shape/speed, not results.
+        from etl_seattle_call_data_spark.session import get_spark
+
+        print("MODE: --tuned (AQE session, NOT driver simulation)",
+              file=sys.stderr)
+        spark = get_spark(app_name="verify-oracle-tuned")
+    else:
+        # Default-config session on local[8] = driver-contract simulation.
+        # For off-contract scale runs (sf1+), opt-in knobs size the JVM to
+        # the SF — the driver itself never runs those SFs:
+        #   SPARK_GRAFT_VERIFY_CPUS=16 SPARK_GRAFT_DRIVER_MEM=8g
+        builder = SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_VERIFY_CPUS', '8')}]"
+        )
+        # Full-registry sweeps (no query args) run 350+ queries in one JVM —
+        # far past the driver's own <= 50/session contract — so they get a
+        # bigger heap by default; targeted runs keep the stock driver config.
+        mem = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", None if only else "6g"
+        )
+        if mem:
+            builder = builder.config("spark.driver.memory", mem)
+        spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
@@ -95,6 +116,13 @@ def main() -> int:
         # between batches — per-query semantics are unaffected.
         done += 1
         if not only and done % 40 == 0:
+            spark.catalog.clearCache()
+        if tuned:
+            # scale runs: evict memoized caches (shingle/edge tables)
+            # between queries — at sf10 they accumulate to JVM death
+            from etl_seattle_call_data_spark.operators.util import clear_caches
+
+            clear_caches()
             spark.catalog.clearCache()
         if name not in osql:
             n = qs[name](spark, sf).count()
