@@ -425,11 +425,22 @@ def _token_hash60(c):
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """60-bit SimHash per document over unigram tokens (with multiplicity):
-    bit j is 1 iff the sum over tokens of ±1 (sign of the token hash's
-    bit j) is positive. One explode + one grouped aggregation — no
-    quadratic work."""
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """``bits``-bit SimHash per document over unigram tokens (with
+    multiplicity): bit j is 1 iff the sum over tokens of ±1 (sign of the
+    token hash's bit j) is positive. One explode + one grouped
+    aggregation — no quadratic work.
+
+    ``bits`` is the corpus-scale dial (<= 60: the per-token md5 slice
+    feeding the bit votes, and a signed-long signature). Widths past 60
+    need a multi-word signature (array<long> + a second md5 slice) —
+    out of scope until a corpus actually approaches 2^30 docs."""
+    assert 1 <= bits <= SIMHASH_BITS, "single-long signatures carry <= 60 bits"
     # materialize the token hash ONCE per token before the aggregation:
     # referencing the md5 expression inside all 60 aggregates would lean
     # on codegen subexpression elimination to avoid 60 md5 calls/token
@@ -444,11 +455,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             F.sum(
                 F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
-            for j in range(SIMHASH_BITS)
+            for j in range(bits)
         ]
     )
     value = None
-    for j in range(SIMHASH_BITS):
+    for j in range(bits):
         term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         value = term if value is None else value + term
     return bit_sums.select(F.col(id_col), value.alias("simhash"))
@@ -460,50 +471,67 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     sig: DataFrame | None = None,
+    bits: int = SIMHASH_BITS,
+    n_blocks: int = 6,
 ) -> DataFrame:
     """Near-duplicate pairs with Hamming(simhash) ≤ max_hamming, found via
     combination blocking (Manku et al., WWW'07 block-permutation scheme):
-    the 60-bit signature splits into 6 sub-blocks of 10 bits; ≤3
-    differing bits touch ≤3 sub-blocks, so ≥3 sub-blocks are untouched
-    and every qualifying pair agrees on at least one of the C(6,3)=20
-    sub-block TRIPLES — recall is exact by pigeonhole, same as banding.
+    the ``bits``-bit signature splits into ``n_blocks`` sub-blocks; ≤
+    max_hamming differing bits touch ≤ max_hamming sub-blocks, so ≥
+    match_blocks = n_blocks − max_hamming sub-blocks are untouched and
+    every qualifying pair agrees on at least one of the
+    C(n_blocks, match_blocks) sub-block COMBINATIONS — recall is exact
+    by pigeonhole, same as banding. Defaults (60, 6, 3) give the
+    C(6,3)=20 10-bit-triple scheme.
 
-    Why triples and not the naive 4×15-bit bands: band blocking keys
-    into a FIXED 2^15 space, so candidate volume is n²·4/2^15 — a
+    Why combinations and not the naive 4×15-bit bands: band blocking
+    keys into a FIXED 2^15 space, so candidate volume is n²·4/2^15 — a
     constant-block quadratic (the class the round-8 audit flagged).
     Triple keys are 30 bits: candidate volume ≈ n²·20/2^30 for
     SimHash-uniform fingerprints, 1638× lower, at the cost of 20 keys
     per doc instead of 4 (a bounded 5× explode). The residual
     fixed-width quadratic term is inherent to ANY fixed-width
     fingerprint; past ~10^9 docs the production answer is widening the
-    fingerprint so key bits track log2(n) — a config change, not a
-    plan change. Output pairs are IDENTICAL to band blocking (the
-    blocking is internal; the pair set is defined by Hamming ≤ 3)."""
-    assert max_hamming <= 3, "3-of-6 sub-block triples are only exact for hamming <= 3"
+    fingerprint so key bits track log2(n) — now literally this
+    function's (bits, n_blocks) arguments, with the pigeonhole assert
+    generalized (single-long signatures cap bits at 60; past that the
+    signature goes multi-word, see simhash()). Output pairs are
+    IDENTICAL under every blocking config (the blocking is internal;
+    the pair set is defined by Hamming ≤ max_hamming)."""
+    import itertools
+
+    match_blocks = n_blocks - max_hamming
+    assert match_blocks >= 1, (
+        f"pigeonhole needs n_blocks > max_hamming ({n_blocks} <= {max_hamming}:"
+        " some qualifying pair could differ in every sub-block)"
+    )
+    assert bits % n_blocks == 0, f"bits={bits} must split evenly into {n_blocks} blocks"
+    width = bits // n_blocks
+    assert match_blocks * width <= 62, "band_val must fit a signed long"
     # persist: the signature table (one row/doc) feeds BOTH sides of the
     # band self-join; without it the tokenize+60-agg pipeline runs twice.
     # Callers holding an already-persisted signature table (plans layer
-    # memoization) pass it via ``sig`` and skip the rebuild entirely.
+    # memoization) pass it via ``sig`` and skip the rebuild entirely
+    # (theirs must carry >= ``bits`` low bits — the default memo does).
     if sig is None:
-        sig = cache_swap("simhash_sig", simhash(df, id_col, text_col))
+        sig = cache_swap(f"simhash_sig_{bits}", simhash(df, id_col, text_col, bits=bits))
 
     def sub(i: int):
-        return F.shiftright(F.col("simhash"), i * 10).bitwiseAND(F.lit((1 << 10) - 1))
+        return F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
 
-    combos = [
-        (i, j, k) for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
-    ]
+    combos = list(itertools.combinations(range(n_blocks), match_blocks))
     bands = F.array(
         *[
             F.struct(
                 F.lit(ci).alias("band_idx"),
-                (
-                    sub(i)
-                    + sub(j) * F.lit(1 << 10)
-                    + sub(k) * F.lit(1 << 20)
+                sum(
+                    (sub(blk) * F.lit(1 << (width * pos)) for pos, blk in enumerate(combo)),
+                    F.lit(0),
                 ).cast("long").alias("band_val"),
             )
-            for ci, (i, j, k) in enumerate(combos)
+            for ci, combo in enumerate(combos)
         ]
     )
     banded = sig.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
@@ -584,10 +612,20 @@ def passjoin_candidate_pairs(
     Returns distinct candidate pairs (name_a, name_b) with
     name_a < name_b; the caller applies the levenshtein verify."""
     m = k + 1
-    base = names.select(
-        F.col(string_col).alias("__s"),
-        *(block_cols or []),
-    ).withColumn("__len", F.length("__s"))
+    # The input feeds BOTH the build and probe branches below, and
+    # callers typically hand us a shuffle distinct — Catalyst does not
+    # dedupe common subtrees, so without a barrier that distinct would
+    # re-evaluate once per branch (CLAUDE.md materialization rule; lazy
+    # localCheckpoint, not persist, per the Spark 4.1 cache-on-cache
+    # AQE NPE note).
+    base = (
+        names.select(
+            F.col(string_col).alias("__s"),
+            *(block_cols or []),
+        )
+        .withColumn("__len", F.length("__s"))
+        .localCheckpoint(eager=False)
+    )
 
     def base_len(length):  # length DIV m (Columns have no //)
         return F.floor(length / m).cast("long")

@@ -111,12 +111,18 @@ def hot_salted_join(
     not_null = F.lit(True)
     for c in on:
         not_null = not_null & F.col(c).isNotNull()
+    joinable = fact.filter(not_null)
+    # __tot over the SAME not-null frame as the per-key counts: on a
+    # heavily-null FK, an unfiltered total would dilute every joinable
+    # key's share and let a key owning most joinable rows slip under
+    # hot_share_ppm (perf-only miss, but exactly the skew case this
+    # operator exists for)
     counts = (
-        fact.filter(not_null)
+        joinable
         .groupBy(*on)
         .agg(F.count(F.lit(1)).alias("__n"))
         .crossJoin(
-            F.broadcast(fact.agg(F.count(F.lit(1)).alias("__tot")))
+            F.broadcast(joinable.agg(F.count(F.lit(1)).alias("__tot")))
         )
         .filter(F.col("__n") * 1_000_000 > F.col("__tot") * hot_share_ppm)
         .orderBy(F.desc("__n"), *on)

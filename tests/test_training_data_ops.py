@@ -54,6 +54,58 @@ def test_simhash_pairs_hamming_zero(docs):
     assert pairs.get((1, 2)) == 0
 
 
+@pytest.fixture()
+def near_dup_corpus(spark):
+    """Doc set dense enough that several signature pairs land within a
+    few Hamming bits of each other: 8 variants of one base sentence plus
+    unrelated noise docs."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, base.replace("the", w, 1)) for i, w in enumerate(
+        ["the", "a", "one", "that", "this", "some", "every", "each"])]
+    rows += [(100 + i, f"completely unrelated document number {i} about {t}")
+             for i, t in enumerate(["spark", "ducks", "parquet", "shuffles"])]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.mark.parametrize(
+    "bits,n_blocks,max_hamming",
+    [
+        (60, 6, 3),   # shipped default: C(6,3) 10-bit triples
+        (48, 6, 3),   # second width: the log2(n) dial moved down
+        (60, 5, 2),   # different block count + threshold: C(5,3) 12-bit keys
+        (60, 10, 3),  # many narrow blocks: C(10,7) 6-bit keys
+    ],
+)
+def test_simhash_pairs_exact_recall_any_width(near_dup_corpus, bits, n_blocks, max_hamming):
+    """Pigeonhole recall is exact at EVERY (bits, n_blocks, max_hamming)
+    config: the pair set must equal the brute-force all-pairs Hamming
+    truth over the same signatures. (Blocking affects candidate volume
+    only — the output is blocking-independent.)"""
+    sig = {r.doc_id: r.simhash
+           for r in dedup.simhash(near_dup_corpus, bits=bits).collect()}
+    truth = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a in sig for b in sig if a < b
+        and bin(sig[a] ^ sig[b]).count("1") <= max_hamming
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(
+            near_dup_corpus, max_hamming=max_hamming,
+            bits=bits, n_blocks=n_blocks,
+        ).collect()
+    }
+    assert got == truth
+    assert truth, "corpus produced no qualifying pairs — test is vacuous"
+
+
+def test_simhash_pairs_rejects_degenerate_blocking(near_dup_corpus):
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        dedup.simhash_pairs(near_dup_corpus, max_hamming=6, n_blocks=6)
+    with pytest.raises(AssertionError, match="split evenly"):
+        dedup.simhash_pairs(near_dup_corpus, max_hamming=3, bits=50, n_blocks=6)
+
+
 def test_passjoin_candidates_exact_recall(spark):
     """PassJoin candidate recall vs the brute-force truth: every pair
     with levenshtein <= k MUST be a candidate (the untouched-chunk
