@@ -90,7 +90,23 @@ assert not missing and not stale, (
     f"docs/CATALOG.md drift — missing: {missing[:5]} stale: {stale[:5]} — "
     "regenerate with `python tools/catalog_dump.py`"
 )
-print(f"doc counts OK: {n} queries (README + CATALOG in sync)")
+# the second-decade growth column must cover exactly the committed
+# subset artifact's queries (catalog and artifacts can't drift)
+import json
+subset = set(json.load(open("BENCH_SUBSET_sf10.json"))["queries"])
+g2_cells = {
+    line.split("|")[1].strip(): line.split("|")[8].strip()
+    for line in open("docs/CATALOG.md")
+    if line.startswith("| ") and not line.startswith("| query ")
+}
+no_g2 = sorted(q for q in subset if g2_cells.get(q, "—") == "—")
+extra_g2 = sorted(q for q, v in g2_cells.items() if v != "—" and q not in subset)
+assert not no_g2 and not extra_g2, (
+    f"CATALOG growth/R² drift vs BENCH_SUBSET_sf10.json — missing: {no_g2[:5]} "
+    f"extra: {extra_g2[:5]} — regenerate with `python tools/catalog_dump.py`"
+)
+print(f"doc counts OK: {n} queries (README + CATALOG in sync; "
+      f"{len(subset)} decade-2 growth cells match the subset artifact)")
 PY
 
 [ "$fail" = 0 ] && echo "ROUNDCHECK GREEN ($drift_verdict)" \
