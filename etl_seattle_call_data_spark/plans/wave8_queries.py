@@ -586,6 +586,22 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale caveat (round-10 sf100 audit): the docstring's "bounded by
+    the model size" holds only while the model IS bounded. Under the
+    synthetic scale-up the label count grows with the corpus (by
+    design — a 10x corpus has more clusters), so scoring work is
+    n_vecs x n_labels x dims = 1.28e8 / 1.28e10 / 1.28e12 rows at
+    sf1/10/100: inherently QUADRATIC across decades for any exact
+    plan. The measured 0.96x/R over decade 2 was an illusion —
+    sf1 ran overhead-dominated (~1e8 rows/s) while sf10 ran at
+    throughput (~1e9 rows/s), masking the x100 work growth; at sf100
+    the x100 bites for real and the exploded aggregate's shuffle
+    (~6e8 partial groups/task) also exceeds single-box disk. The
+    production posture at 100 TB is a CAPPED/compressed model (fixed
+    label set -> work linear in n_vecs again) or an exact-pruned
+    scorer (Elkan bounds); the registry keeps the all-pairs semantics
+    because that is what the oracle specifies. See docs/SCALING.md
+    round-10 third-decade table."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("d0", "x")

@@ -14,7 +14,18 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Shuffle-partition default tracks core count for the gate/bench SFs
+# (AQE coalesces the excess), but at off-contract scale runs (sf100:
+# 100GB-class shuffles on one box) the INITIAL partition count is the
+# spill-size dial — 32 partitions × multi-GB each exceeds per-task
+# execution memory before AQE can intervene. SPARK_GRAFT_SHUFFLE_PARTITIONS
+# overrides independently of thread count; on a real cluster this is the
+# usual 2-3× total-cores setting.
+DEFAULT_SHUFFLE_PARTITIONS = int(
+    os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+)
 
 
 def get_spark(
@@ -54,6 +65,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Off-contract scale runs need one-off knobs (e.g. zstd shuffle
+    # compression to fit a 100x shuffle on one box's disk) without
+    # changing call sites: SPARK_GRAFT_EXTRA_CONF="k=v;k=v".
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
