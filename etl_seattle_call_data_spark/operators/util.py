@@ -99,6 +99,13 @@ def clear_caches() -> None:
             pass  # session may already be stopped
     _last_cached.clear()
     _memo_tokens.clear()
+    # Table PLAN memos (sources.registry) rest on the same files-are-
+    # immutable premise — drop them under the same contract. Imported
+    # lazily: sources must stay importable without operators and
+    # vice versa.
+    from etl_seattle_call_data_spark.sources.registry import clear_table_memo
+
+    clear_table_memo()
 
 
 _memo_tokens: dict[str, object] = {}

@@ -8,6 +8,7 @@ views so both the DataFrame and `spark.sql` query surfaces work.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,12 +58,44 @@ def _normalize_temporals(df: DataFrame, name: str) -> DataFrame:
     return df.select(*cols)
 
 
+# Plan-definition memo: (sf_dir, table) -> DataFrame, weakly keyed by
+# session so a stopped session's entries die with it. This caches the
+# PLAN object only — no rows, no persisted blocks; every action still
+# scans the parquet files. Rationale (measured, round 10): each
+# `spark.read.parquet` + temporal-normalize select costs ~90-100ms of
+# driver-side footer reads and py4j chatter, and a full registry pass
+# makes 500 such calls for ~10 distinct tables — 48s of a 143s build
+# pass was redundant re-resolution of identical static inputs. Sources
+# are immutable files within a session (the cache_swap premise); the
+# one documented exception — an in-place rewrite via the maintenance
+# operators — already requires `clear_caches()`, which clears this memo
+# too (operators/util.py hooks `clear_table_memo`).
+_table_memo: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def clear_table_memo() -> None:
+    """Forget memoized table plans (all sessions). Called by
+    operators.util.clear_caches() so the standing rule — clear caches
+    after rewriting source files in place — covers plan memos too."""
+    _table_memo.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    per_session = _table_memo.get(spark)
+    if per_session is None:
+        per_session = {}
+        _table_memo[spark] = per_session
+    key = (os.path.abspath(sf_dir), name)
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _normalize_temporals(df, name)
+    df = _normalize_temporals(df, name)
+    per_session[key] = df
+    return df
 
 
 def load_tables(
