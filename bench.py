@@ -90,7 +90,10 @@ def main() -> None:
         # family rebuilds its memo during rep 1 and rep 2 hits it, so
         # the best-of-2 min still measures the steady-state plan.
         if done and done % 40 == 0:
-            clear_caches()
+            # keep table PLAN memos: the eviction targets persisted
+            # blocks / checkpoint RDD GC pressure, and the plan memo
+            # holds neither (sources are immutable within the run)
+            clear_caches(table_plans=False)
             spark.catalog.clearCache()
             # checkpoint RDD blocks (two-phase helpers) are NOT
             # CacheManager entries — they free via ContextCleaner only
@@ -119,7 +122,7 @@ def main() -> None:
     # neighborhood. Bounded cost: 2 extra reps per flagged query.
     names_flagged = _flagged(prev, timings, sf)
     if names_flagged:
-        clear_caches()
+        clear_caches(table_plans=False)
         spark.catalog.clearCache()
         import gc
 

@@ -86,12 +86,18 @@ def register_cached(key: str, df: DataFrame | None) -> None:
         _last_cached[key] = df
 
 
-def clear_caches() -> None:
+def clear_caches(table_plans: bool = True) -> None:
     """Release every registry-held persisted intermediate and forget the
     registry. Call after rewriting source files in place (compaction,
     clustering, external overwrite): cache_swap's sameSemantics reuse
     assumes within-session immutability of the underlying files, and a
-    pre-rewrite cache would otherwise keep serving old data."""
+    pre-rewrite cache would otherwise keep serving old data.
+
+    ``table_plans=False`` keeps sources.registry's memoized table PLAN
+    objects: they pin no executor blocks and no rows, so periodic
+    GC-pressure evictions (bench.py's every-40-queries sweep) don't
+    need to drop them — only the after-an-in-place-rewrite contract
+    (the default) does."""
     for df in _last_cached.values():
         try:
             df.unpersist(False)
@@ -99,13 +105,14 @@ def clear_caches() -> None:
             pass  # session may already be stopped
     _last_cached.clear()
     _memo_tokens.clear()
-    # Table PLAN memos (sources.registry) rest on the same files-are-
-    # immutable premise — drop them under the same contract. Imported
-    # lazily: sources must stay importable without operators and
-    # vice versa.
-    from etl_seattle_call_data_spark.sources.registry import clear_table_memo
+    if table_plans:
+        # Table PLAN memos (sources.registry) rest on the same files-are-
+        # immutable premise — drop them under the same contract. Imported
+        # lazily: sources must stay importable without operators and
+        # vice versa.
+        from etl_seattle_call_data_spark.sources.registry import clear_table_memo
 
-    clear_table_memo()
+        clear_table_memo()
 
 
 _memo_tokens: dict[str, object] = {}

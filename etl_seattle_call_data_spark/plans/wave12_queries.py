@@ -110,6 +110,13 @@ def q_doc_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos")
         - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
     )
+    # NOTE (r10): withlen feeds two branches (word stats + the phrase
+    # probe) and is window-heavy, but a localCheckpoint barrier here
+    # measured SLOWER at sf0.1 (3.9s vs 1.9s warm): the duplicate
+    # branches pipeline in parallel on idle cores while the barrier
+    # serializes build->exec — the skipgram counterexample class. The
+    # two-branch shape stands; revisit only if the token frame's double
+    # evaluation shows up at cluster scale.
     withlen = nonstop.withColumn(
         "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp"))
     )
@@ -132,19 +139,20 @@ def q_doc_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("degree * 1000000 DIV freq")).cast("bigint").alias("score_fp"),
         )
     )
-    ranked = (
+    # top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-k, no single-partition global window — the phrase
+    # table scales with the corpus). Identical rows to the former
+    # row_number() filter: (score_fp DESC, phrase ASC) is a total order
+    # because phrase is unique after the groupBy.
+    return (
         phrases.groupBy("phrase")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
             F.max("score_fp").alias("score_fp"),
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.desc("score_fp"), F.asc("phrase"))),
-        )
-    )
-    return ranked.filter(F.col("rn") <= 20).select(
-        "phrase", "n_occurrences", "score_fp"
+        .orderBy(F.desc("score_fp"), F.asc("phrase"))
+        .limit(20)
+        .select("phrase", "n_occurrences", "score_fp")
     )
 
 
@@ -235,7 +243,15 @@ def q_tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFra
             text.bpe_apply_merge("seq", F.col("bg")).alias("seq"), "f"
         )
 
-    v3 = bpe_round(bpe_round(bpe_round(vocab)))
+    # Same two-consumer-per-round shape as bpe_merge_rounds: without a
+    # barrier each round re-evaluates its input vocabulary once per
+    # branch (2^rounds words-explode passes; 14 BNLJ nodes in the r10
+    # before-plan). Vocab-bounded frames — lazy localCheckpoint per
+    # round per the CLAUDE.md materialization rule.
+    def ckpt(v: DataFrame) -> DataFrame:
+        return v.localCheckpoint(eager=False)
+
+    v3 = bpe_round(ckpt(bpe_round(ckpt(bpe_round(ckpt(vocab))))))
     vocab_tok = v3.select(
         F.replace(F.col("seq"), F.lit("|"), F.lit("")).alias("w"),
         F.size(text.bpe_tokens("seq")).cast("bigint").alias("ntok"),

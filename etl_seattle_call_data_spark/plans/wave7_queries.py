@@ -1100,9 +1100,18 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return top, merged
 
-    t1, v1 = bpe_round(vocab)
-    t2, v2 = bpe_round(v1)
-    t3, v3 = bpe_round(v2)
+    # Each round consumes its input vocabulary from TWO branches (the
+    # pair-count/top-1 derivation and the merge application), so an
+    # un-materialized chain re-evaluates the corpus-size vocab aggregate
+    # 2^round times — 7 words-explode passes for 3 rounds (measured as
+    # 8 BNLJ nodes / 28 Exchanges in the r10 before-plan). The frames
+    # are vocab-bounded, exactly the expensive-subtree class CLAUDE.md's
+    # materialization rule targets: one lazy localCheckpoint per round
+    # makes every vocabulary exactly once-evaluated (r10: 1.53s -> ~0.9s
+    # at sf0.1, 28 -> 8 Exchanges).
+    t1, v1 = bpe_round(vocab.localCheckpoint(eager=False))
+    t2, v2 = bpe_round(v1.localCheckpoint(eager=False))
+    t3, v3 = bpe_round(v2.localCheckpoint(eager=False))
     out = (
         t1.select(F.lit(1).cast("int").alias("round"), F.col("bg").alias("merged_pair"), "n")
         .unionByName(
