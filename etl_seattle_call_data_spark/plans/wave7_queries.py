@@ -786,7 +786,13 @@ def q_label_propagation_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("label")
             )
         )
-        labels = labels.localCheckpoint(eager=False)
+        # no per-round localCheckpoint: each generation has exactly ONE
+        # consumer (next round's join, then the final rollup), so there
+        # is no duplicate evaluation to cut, and at 2 unrolled rounds the
+        # lineage depth is constant — the barrier only cost wall-clock
+        # (r10 A/B: 2.31s -> 2.06s best-of-3, identical output). Deep
+        # UNBOUNDED loops still need the checkpoint (see
+        # dedup.connected_components).
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
