@@ -150,6 +150,53 @@ def two_phase_rank(
     )
 
 
+def two_phase_multi_rank(
+    df: DataFrame,
+    specs: list[tuple[list[str], Column, str]],
+    materialize: bool = True,
+) -> tuple[DataFrame, int]:
+    """Several independent exact global ranks over the SAME frame in one
+    pass — ``[(order_by, coarse, rank_name), ...]`` — equivalent to
+    chaining ``two_phase_rank`` once per spec but with ONE
+    materialization barrier instead of one per spec.
+
+    Chained single-rank calls each checkpoint their input, so k ranks
+    serialize k materialization jobs plus k collects (rfm_segments ran
+    three). Here every coarse bucket column is attached up front, the
+    frame checkpoints once, the k bounded offset collects read the same
+    materialized blocks, and the k window+broadcast-join passes chain
+    inside ONE plan (each generation has exactly one consumer — no
+    multi-consumer re-evaluation). Same contract per spec as
+    ``two_phase_rank``: coarse order-aligned with the leading order_by
+    column and non-null. Returns ``(frame, total_rows)``."""
+    spark = df.sparkSession
+    out = df
+    for i, (_, coarse, _) in enumerate(specs):
+        out = out.withColumn(f"__cb{i}", _guarded_bucket(coarse))
+    bucketed = _bucketed_checkpoint(out, materialize)
+    frame, total = bucketed, 0
+    for i, (order_by, _, rank_name) in enumerate(specs):
+        cb = f"__cb{i}"
+        counts = sorted(
+            (r[cb], r["n"])
+            for r in bucketed.groupBy(cb).agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        offsets, running = [], 0
+        for b, n in counts:
+            offsets.append((b, running))
+            running += n
+        total = running
+        off_df = spark.createDataFrame(offsets, f"{cb} long, __offset long")
+        local = F.row_number().over(Window.partitionBy(cb).orderBy(*order_by))
+        frame = (
+            frame.withColumn("__lrank", local)
+            .join(F.broadcast(off_df), cb)
+            .withColumn(rank_name, (F.col("__offset") + F.col("__lrank")).cast("long"))
+            .drop(cb, "__lrank", "__offset")
+        )
+    return frame, total
+
+
 def _idiv(a: Column, b: int) -> Column:
     """Exact integer floor-division of a non-negative long column by a
     positive literal: (a - a%b)/b divides two exactly-representable
@@ -173,6 +220,28 @@ def equidepth_bucket(rank: Column, n: int, k: int) -> Column:
     return (
         F.when(rank <= F.lit(big), F.lit(1) + _idiv(rank - F.lit(1), q + 1))
         .otherwise(F.lit(rem + 1) + _idiv(rank - F.lit(big + 1), q))
+        .cast("int")
+    )
+
+
+def equidepth_bucket_grouped(rank: Column, n: Column, k: int) -> Column:
+    """Column-typed ``equidepth_bucket``: NTILE(k)-identical bucket id
+    when the group size ``n`` is a COLUMN (per-group totals attached by
+    a join) rather than a driver scalar — the grouped-rank companion.
+    Same ANSI NTILE contract: first ``n mod k`` buckets take ceil(n/k)
+    rows, the rest floor(n/k); fewer rows than buckets → one row each.
+    Non-negative longs only (DIV truncation = floor)."""
+    q = n - F.pmod(n, F.lit(k))  # k*floor(n/k), still a long
+    # exact long floor-divisions via DIV on non-negative operands
+    qd = (q / k).cast("long")  # floor(n/k): q is divisible by k
+    rem = F.pmod(n, F.lit(k))
+    big = rem * (qd + 1)
+    return (
+        F.when(qd == 0, rank)
+        .when(rank <= big, F.lit(1) + ((rank - 1) - F.pmod(rank - 1, qd + 1)) / (qd + 1))
+        .otherwise(
+            rem + 1 + ((rank - big - 1) - F.pmod(rank - big - 1, qd)) / qd
+        )
         .cast("int")
     )
 

@@ -1122,10 +1122,25 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors1, threshold=0.5, max_df=_JACCARD_MAX_DF, shingles=sh_surv
     )
     comp = dedup.connected_components(pairs)
-    reps = dedup.cluster_representatives(comp, survivors1, quality_col="n_chars")
-    dropped = comp.join(
-        reps.select(F.col("rep_doc_id").alias("doc_id")), on="doc_id", how="left_anti"
-    ).select("doc_id")
+    # r11: dropped = every cluster member EXCEPT the top-1 by (quality
+    # desc, id) — computed directly as row_number > 1 over the member
+    # table. The previous shape (cluster_representatives + comp anti-join
+    # reps) consumed comp from three plan branches and carried an
+    # n_members aggregate+join this query never reads; this consumes
+    # comp once and drops two exchanges + two SortMergeJoins from the
+    # final stage. Window partitions are near-dup clusters (bounded
+    # membership), never corpus-scale.
+    from pyspark.sql.window import Window
+
+    w_rep = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    dropped = (
+        comp.join(survivors1.select("doc_id", "n_chars"), on="doc_id")
+        .withColumn("__rn", F.row_number().over(w_rep))
+        .filter(F.col("__rn") > 1)
+        .select("doc_id")
+    )
     return survivors1.join(dropped, on="doc_id", how="left_anti").select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),

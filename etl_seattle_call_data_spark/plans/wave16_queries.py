@@ -168,33 +168,57 @@ def q_dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11: ONE orders pass instead of two. The previous shape ran
+    # two_phase_rank per half — two orders scans, two checkpoint
+    # materializations and two SERIALIZED driver offset-collects. Both
+    # halves now ride one (half, custkey) rollup through the GROUPED
+    # two-phase rank (no driver collect at all); per-half NTILE(5) uses
+    # the column-typed equidepth_bucket_grouped with per-half totals
+    # attached from the bounded 2-row count table, and the h1×h2 join
+    # becomes a conditional-aggregate pivot consuming the ranked frame
+    # once (CLAUDE.md one-pass-restructure rule).
     from etl_seattle_call_data_spark.operators.ranking import (
-        equidepth_bucket,
-        two_phase_rank,
+        equidepth_bucket_grouped,
+        two_phase_rank_in_groups,
     )
 
     o = load_table(spark, sf_dir, "orders")
     cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-
-    def half(pred) -> DataFrame:
-        h = (
-            o.filter(pred)
-            .groupBy(F.col("o_custkey").alias("custkey"))
-            .agg(F.sum(cents).alias("cents"))
-            .withColumn("negc", -F.col("cents"))
+    hh = (
+        o.groupBy(
+            F.when(F.col("o_orderdate") < cut, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("half"),
+            F.col("o_custkey").alias("custkey"),
         )
-        ranked, total = two_phase_rank(
-            h, order_by=["negc", "custkey"], coarse=F.expr("negc DIV 100000")
-        )
-        return ranked.withColumn(
-            "seg", equidepth_bucket(F.col("global_rank"), total, 5)
-        ).select("custkey", "seg")
-
-    q1 = half(F.col("o_orderdate") < cut).withColumnRenamed("seg", "seg_h1")
-    q2 = half(F.col("o_orderdate") >= cut).withColumnRenamed("seg", "seg_h2")
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn("negc", -F.col("cents"))
+    )
+    ranked = two_phase_rank_in_groups(
+        hh,
+        group_cols=["half"],
+        order_by=["negc", "custkey"],
+        coarse=F.expr("negc DIV 100000"),
+        rank_name="rank",
+        # ranked feeds the 2-row totals branch AND the segment probe —
+        # barrier once (multi-consumer rule)
+    ).localCheckpoint(eager=False)
+    totals = ranked.groupBy("half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_half")
+    )
+    seg = ranked.join(F.broadcast(totals), "half").select(
+        "custkey",
+        "half",
+        equidepth_bucket_grouped(F.col("rank"), F.col("n_half"), 5).alias("seg"),
+    )
     return (
-        q1.join(q2, "custkey")
+        seg.groupBy("custkey")
+        .agg(
+            F.max(F.when(F.col("half") == 1, F.col("seg"))).alias("seg_h1"),
+            F.max(F.when(F.col("half") == 2, F.col("seg"))).alias("seg_h2"),
+        )
+        .filter(F.col("seg_h1").isNotNull() & F.col("seg_h2").isNotNull())
         .groupBy("seg_h1", "seg_h2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )

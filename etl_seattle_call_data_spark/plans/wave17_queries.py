@@ -115,6 +115,15 @@ def q_spearman_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("qty"),
         _cents(F.col("l_extendedprice")).alias("cents"),
     )
+    # r11 NOTE (measured negative — do not "fix" again): restructuring to
+    # a single joint (flag, qty, cents) count table with jn-weighted
+    # moments (one lineitem pass instead of three) was oracle-green but
+    # MEASURED SLOWER (count-methodology best-of-5: 3.98 s → 4.67 s at
+    # sf0.1). The joint key is near-row-cardinality, so the "one pass"
+    # is a ~full-size hash aggregation + checkpoint materialization,
+    # while the three branch scans are cheap pipelined projections
+    # (CLAUDE.md skipgram counterexample class). Keeping the original
+    # three-consumer shape.
 
     def midrank2(value_col: str, coarse: Column, out: str) -> DataFrame:
         vg = li.groupBy("flag", value_col).agg(F.count(F.lit(1)).alias("cnt"))
@@ -309,6 +318,13 @@ def q_price_index_fisher_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents(F.col("l_extendedprice"))).alias("cents"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
     )
+    # r11 NOTE (measured negative — do not "fix" again): up feeds three
+    # consumers (min-ym scalar, base-month filter, join probe), but a
+    # lazy localCheckpoint barrier here measured SLOWER (count best-of-5:
+    # 1.50 s → 2.08 s at sf0.1) — the (month, part) rollup is
+    # near-part-cardinality, so materializing it costs more than the
+    # pipelined branch re-evaluations it saves (skipgram counterexample
+    # class). Keeping the three-consumer shape.
     up = pm.select(
         "ym", "pk", F.expr("cents * 10000 DIV qty").alias("pmicro"), "qty"
     )

@@ -193,12 +193,17 @@ def q_embedding_similarity_histogram(
 
     base = load_table(spark, sf_dir, "embeddings")
     n_buckets = max(_ESH_MIN_BUCKETS, base.count() // _ESH_TARGET_BLOCK)
+    # r11: emb feeds FOUR plan branches (two populations x two self-join
+    # arms) — un-materialized, the quantize projection (per-dim round +
+    # dot-with-self + md5 bucket) re-runs once per branch (CLAUDE.md
+    # multi-consumer rule; the subtree is hash-heavy, not a cheap scan).
+    # Lazy localCheckpoint evaluates it once; the four arms read blocks.
     emb = with_quantized(base).withColumn(
         "hb",
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
         % F.lit(n_buckets),
-    ).select("vec_id", "label", "hb", "qvec", "qnorm2")
+    ).select("vec_id", "label", "hb", "qvec", "qnorm2").localCheckpoint(eager=False)
 
     def pop(on: str, name: str) -> DataFrame:
         a = emb.select(

@@ -216,16 +216,26 @@ def q_chain_ladder_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = inc.select(
         "cohort", "lag", F.sum("inc_rev").over(w).cast("bigint").alias("c")
     )
-    a = cum.alias("a")
-    b = cum.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("b.cohort") == F.col("a.cohort"))
-        & (F.col("b.lag") == F.col("a.lag") + 1),
-    ).select(
-        F.col("a.lag").alias("lag"),
-        F.col("a.c").alias("c_curr"),
-        F.col("b.c").alias("c_next"),
+    # r11: the (lag, lag+1) pairing is lead() over the SAME (cohort, lag)
+    # window partitioning the cumsum just established — no second
+    # shuffle, and no self-join consuming cum from two plan branches
+    # (which re-ran the fact-scale lineitem⋈orders rollup once per arm —
+    # CLAUDE.md multi-consumer rule). A pair exists iff cohort has lag+1
+    # observed: lead(lag) == lag + 1 is exactly that test.
+    wl = Window.partitionBy("cohort").orderBy("lag")
+    pairs = (
+        cum.select(
+            "lag",
+            "c",
+            F.lead("lag").over(wl).alias("__nlag"),
+            F.lead("c").over(wl).alias("__nc"),
+        )
+        .filter(F.col("__nlag") == F.col("lag") + 1)
+        .select(
+            "lag",
+            F.col("c").alias("c_curr"),
+            F.col("__nc").alias("c_next"),
+        )
     )
     s = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
@@ -313,6 +323,10 @@ def q_pearson_residual_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("o_cnt"))
+        # r11: cells feeds the margins branch AND the grand-total scalar
+        # — checkpoint the bounded 125-cell table once (multi-consumer
+        # rule; the upstream is an orders⋈customer join).
+        .localCheckpoint(eager=False)
     )
     m = cells.select(
         "nation",
@@ -435,10 +449,15 @@ def q_bigram_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
-    wk = Window.orderBy(F.col("lift_ppm").desc(), "bigram")
+    # r11: top-K via orderBy().limit() = TakeOrderedAndProject (per-
+    # partition partial top-K), not a row_number over an unpartitioned
+    # window — the supported-bigram table is corpus-scale, and the
+    # global window funneled it through one task (the doc_keyphrase_rake
+    # scale-killer class). (lift_ppm DESC, bigram) is a total order, so
+    # the kept row set is identical.
     return (
-        lifted.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= _COLL_TOP_K)
+        lifted.orderBy(F.col("lift_ppm").desc(), "bigram")
+        .limit(_COLL_TOP_K)
         .select("bigram", "c_xy", "c_x", "c_y", "lift_ppm")
     )
 
@@ -559,8 +578,12 @@ def q_cents_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d"
         )
     )
-    cells = o.groupBy("d").agg(
-        F.count(F.lit(1)).cast("bigint").alias("o_d")
+    cells = (
+        o.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o_d"))
+        # r11: consumed by the total scalar AND the chi2 rollup — one
+        # orders scan instead of two (bounded 100-digit table).
+        .localCheckpoint(eager=False)
     )
     tot = cells.agg(F.sum("o_d").cast("bigint").alias("n"))
     t = cells.crossJoin(F.broadcast(tot)).agg(

@@ -614,6 +614,11 @@ def q_mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice")).cast("bigint").alias("x"),
         )
         .agg(F.count("l_orderkey").cast("bigint").alias("y"))
+        # r11: oc feeds the moment scalar AND the scoring branch —
+        # checkpoint the order-scale (okey, x, y) rollup once instead of
+        # running the orders⋈lineitem join+agg twice (multi-consumer
+        # rule; ~3 narrow longs per order, trivial blocks).
+        .localCheckpoint(eager=False)
     )
     m = oc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -734,6 +739,10 @@ def q_two_way_effects_decomposition(
             .cast("bigint")
             .alias("s_c"),
         )
+        # r11: cells feeds the margins branch AND the grand-total scalar
+        # — checkpoint the bounded 125-cell table once instead of running
+        # the orders⋈customer rollup twice (multi-consumer rule).
+        .localCheckpoint(eager=False)
     )
     m = cells.select(
         "nation",

@@ -78,6 +78,16 @@ _H_DUCK = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
     """,
 )
 def q_bradley_terry_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale/plan note (r11): the oracle's ob-self-join + duel-UNION shape
+    # re-evaluated the fact-scale ob rollup once per plan branch (2 join
+    # arms x 2 union branches = 4 lineitem⋈part passes — Catalyst does
+    # not dedupe common subtrees, CLAUDE.md). Spark-side we instead
+    # collect each order's bounded brand set (≤ lines-per-order brands)
+    # into an array and generate every ORDERED duel (x, y) in-array: one
+    # (okey, brand) rollup, one okey rollup, bounded ≤ k² in-row fan-out,
+    # and the duel table is never wider than (brand, win). Each unordered
+    # duel contributes exactly its two ordered rows, so wins/games match
+    # the oracle's union-of-both-sides accounting row for row.
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     ob = (
@@ -92,38 +102,22 @@ def q_bradley_terry_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    a = ob.alias("a")
-    b = ob.alias("b")
-    duel = (
-        a.join(
-            b,
-            (F.col("b.okey") == F.col("a.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .filter(F.col("a.cents") != F.col("b.cents"))
-        .select(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
-            F.when(F.col("a.cents") > F.col("b.cents"), 1)
-            .otherwise(0)
-            .alias("win_a"),
-            F.when(F.col("b.cents") > F.col("a.cents"), 1)
-            .otherwise(0)
-            .alias("win_b"),
-        )
+    per_order = ob.groupBy("okey").agg(
+        F.collect_list(F.struct("brand", "cents")).alias("bs")
     )
-    per = (
-        duel.select(F.col("brand_a").alias("brand"), F.col("win_a").alias("w"))
-        .unionAll(
-            duel.select(
-                F.col("brand_b").alias("brand"), F.col("win_b").alias("w")
+    wins = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, x -> transform("
+                " filter(bs, y -> y.brand <> x.brand AND y.cents <> x.cents),"
+                " y -> struct(x.brand AS brand,"
+                " CASE WHEN x.cents > y.cents THEN 1 ELSE 0 END AS w))))"
             )
-        )
-        .groupBy("brand")
-        .agg(
-            F.sum("w").cast("bigint").alias("wins"),
-            F.count(F.lit(1)).cast("bigint").alias("games"),
-        )
+        ).alias("bw")
+    ).select("bw.brand", "bw.w")
+    per = wins.groupBy("brand").agg(
+        F.sum("w").cast("bigint").alias("wins"),
+        F.count(F.lit(1)).cast("bigint").alias("games"),
     )
     return per.select(
         "brand",
@@ -535,6 +529,11 @@ def q_shift_share_location_quotient(
             .cast("bigint")
             .alias("rev"),
         )
+        # r11: cells feeds TWO consumers (the margins branch and the
+        # grand-total scalar) — un-materialized, the 4-way fact join +
+        # rollup executes twice (CLAUDE.md multi-consumer rule). The
+        # checkpoint is a bounded 625-cell table.
+        .localCheckpoint(eager=False)
     )
     m = cells.select(
         "nation",

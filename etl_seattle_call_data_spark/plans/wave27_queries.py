@@ -468,13 +468,20 @@ def q_simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("hi"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
     )
-    s = l.groupBy("brand").agg(
-        F.sum("hi").cast("bigint").alias("n_hi"),
-        F.sum(F.col("hi") * F.col("ret")).cast("bigint").alias("r_hi"),
-        F.sum(1 - F.col("hi")).cast("bigint").alias("n_lo"),
-        F.sum((1 - F.col("hi")) * F.col("ret"))
-        .cast("bigint")
-        .alias("r_lo"),
+    s = (
+        l.groupBy("brand")
+        .agg(
+            F.sum("hi").cast("bigint").alias("n_hi"),
+            F.sum(F.col("hi") * F.col("ret")).cast("bigint").alias("r_hi"),
+            F.sum(1 - F.col("hi")).cast("bigint").alias("n_lo"),
+            F.sum((1 - F.col("hi")) * F.col("ret"))
+            .cast("bigint")
+            .alias("r_lo"),
+        )
+        # r11: s feeds the pooled-total scalar AND the per-brand output —
+        # checkpoint the bounded 25-brand table once instead of running
+        # the lineitem⋈part rollup twice (multi-consumer rule).
+        .localCheckpoint(eager=False)
     )
     tot = s.agg(
         F.sum("n_hi").cast("bigint").alias("tn_hi"),

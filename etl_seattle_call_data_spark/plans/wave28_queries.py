@@ -556,32 +556,33 @@ def q_brand_cannibalization_pairs(
             .alias("rev")
         )
     )
-    a = wb.alias("a")
-    b = wb.alias("b")
-    pr = (
-        a.join(
-            b,
-            (F.col("b.wk") == F.col("a.wk"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("a.rev").cast("bigint").alias("sx"),
-            F.sum("b.rev").cast("bigint").alias("sy"),
-            F.sum(F.expr("CAST(a.rev AS DECIMAL(38,0)) * a.rev")).alias(
-                "sxx"
-            ),
-            F.sum(F.expr("CAST(b.rev AS DECIMAL(38,0)) * b.rev")).alias(
-                "syy"
-            ),
-            F.sum(F.expr("CAST(a.rev AS DECIMAL(38,0)) * b.rev")).alias(
-                "sxy"
-            ),
-        )
+    # r11: the oracle's wb-self-join consumed the fact-scale wb rollup
+    # from two plan branches — Catalyst re-ran lineitem⋈part + agg once
+    # per arm (CLAUDE.md multi-consumer rule). The brand set per week is
+    # bounded (25 brands), so Spark-side we collect each week's (brand,
+    # rev) rows into an array and generate the a.brand < b.brand pairs
+    # in-row: wb is consumed ONCE, fan-out ≤ 25·24/2 per week, and the
+    # weekly grid join disappears. Moment expressions are unchanged.
+    per_week = wb.groupBy("wk").agg(
+        F.collect_list(F.struct("brand", "rev")).alias("br")
+    )
+    pairs = per_week.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(br, x -> transform("
+                " filter(br, y -> y.brand > x.brand),"
+                " y -> struct(x.brand AS brand_a, y.brand AS brand_b,"
+                " x.rev AS ra, y.rev AS rb))))"
+            )
+        ).alias("pw")
+    ).select("pw.brand_a", "pw.brand_b", "pw.ra", "pw.rb")
+    pr = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ra").cast("bigint").alias("sx"),
+        F.sum("rb").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(ra AS DECIMAL(38,0)) * ra")).alias("sxx"),
+        F.sum(F.expr("CAST(rb AS DECIMAL(38,0)) * rb")).alias("syy"),
+        F.sum(F.expr("CAST(ra AS DECIMAL(38,0)) * rb")).alias("sxy"),
     )
     v = pr.withColumn(
         "vx_i",

@@ -486,8 +486,20 @@ def q_pagerank_copurchase_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join on src and the degree groupBy(src) both satisfy their
     # distribution from the cache — zero edge-frame shuffles per round
     edges = memo_copurchase_edges(spark, sf_dir).select("src", "dst")
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
+    # r11 (kcore cadence): deg feeds FOUR plan branches (rank init + the
+    # three damping updates) — un-materialized, Catalyst re-aggregates
+    # the edge cache once per branch, and the unrolled plan nests the
+    # duplicated deg/edge trees (a 3195-line explain). localCheckpoint
+    # deg ONCE: each round's plan then scans two materialized inputs
+    # (edge cache + deg RDD) and the plan is linear in iterations.
+    # Measured negative (do not re-add): ALSO checkpointing each rank
+    # generation serialized three extra materialization barriers for
+    # frames each consumed exactly ONCE — the label_propagation_2round
+    # r10 lesson — and cost 2.11 s → 2.41 s count best-of-5 at sf0.1.
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
     )
     n_nodes = deg.count()  # bounded scalar (node count), IVF-codebook class
     base_fp = ((_PR_TOTAL * 15) // 100) // n_nodes

@@ -1735,13 +1735,20 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
         .distinct()
     )
+    # r11: the overlap table is corpus-scale (every doc sharing >= 1
+    # token with the query doc), so ranking it with an unpartitioned
+    # row_number window serialized the corpus through one task. Take the
+    # top-20 first (TakeOrderedAndProject — per-partition partial top-k
+    # under the same (overlap DESC, doc_id) total order), then attach
+    # lex_rank with a window over the BOUNDED 20-row result.
     wl = Window.orderBy(F.desc("overlap"), "doc_id")
     lex = (
         dtok.join(F.broadcast(qtok), "tok")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+        .orderBy(F.desc("overlap"), "doc_id")
+        .limit(20)
         .withColumn("lex_rank", F.row_number().over(wl))
-        .filter(F.col("lex_rank") <= 20)
         .select("doc_id", "lex_rank")
     )
     vec = (

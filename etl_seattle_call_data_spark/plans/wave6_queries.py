@@ -658,7 +658,11 @@ def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _SSR_MAX_DF)
         .select("h")
     )
-    capped = sh.join(okh, "h")
+    # r11: capped feeds BOTH arms of the positional pair join — without a
+    # barrier the df-cap aggregate + semi-join re-evaluates once per arm
+    # (the cached sh bounds that at 2x the cap join, but the join itself
+    # is hash-heavy). Lazy localCheckpoint runs it once.
+    capped = sh.join(okh, "h").localCheckpoint(eager=False)
     a = capped.select(
         F.col("h"), F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a")
     )

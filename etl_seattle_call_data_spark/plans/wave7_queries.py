@@ -870,6 +870,12 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(h1, "c")
         .groupBy("p")
         .agg(F.sum("h").cast("bigint").alias("a"))
+        # r11: a2 feeds TWO consumers (the 1-row max branch and the final
+        # projection) — un-materialized, the whole two-iteration join
+        # pipeline executes twice (CLAUDE.md multi-consumer rule). Lazy
+        # localCheckpoint runs it once; both branches read the ~|parts|
+        # materialized rows.
+        .localCheckpoint(eager=False)
     )
     mx = a2.agg(F.max("a").cast("bigint").alias("m"))
     return (

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from etl_seattle_call_data_spark.operators.ranking import (
     equidepth_bucket,
+    two_phase_multi_rank,
     two_phase_rank,
 )
 from etl_seattle_call_data_spark.plans.queries import register
@@ -350,25 +351,23 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = cust.crossJoin(F.broadcast(mx)).withColumn(
         "rec", (F.col("max_day") - F.col("last_day")).cast("bigint")
     )
-    ranked, n = two_phase_rank(
+    # r11: the three ranks are independent columns over the SAME frame —
+    # two_phase_multi_rank attaches all three coarse buckets up front and
+    # checkpoints ONCE (three chained two_phase_rank calls serialized
+    # three materialization jobs + three collects; same offsets, same
+    # ranks, one barrier).
+    ranked, n = two_phase_multi_rank(
         base,
-        order_by=["rec", "ck"],
-        coarse=F.expr("rec DIV 30"),
-        rank_name="r_rank",
+        [
+            (["rec", "ck"], F.expr("rec DIV 30"), "r_rank"),
+            (["freq", "ck"], F.expr("freq DIV 4"), "f_rank"),
+            (
+                ["money", "ck"],
+                F.expr("CAST(floor(money) AS BIGINT) DIV 100000"),
+                "m_rank",
+            ),
+        ],
     )
-    ranked, n2 = two_phase_rank(
-        ranked,
-        order_by=["freq", "ck"],
-        coarse=F.expr("freq DIV 4"),
-        rank_name="f_rank",
-    )
-    ranked, n3 = two_phase_rank(
-        ranked,
-        order_by=["money", "ck"],
-        coarse=F.expr("CAST(floor(money) AS BIGINT) DIV 100000"),
-        rank_name="m_rank",
-    )
-    assert n == n2 == n3
     seg = ranked.select(
         equidepth_bucket(F.col("r_rank"), n, 5).alias("r_q"),
         equidepth_bucket(F.col("f_rank"), n, 5).alias("f_q"),

@@ -87,3 +87,51 @@ def test_grouped_two_phase_cumsum_matches_model(spark, case):
         ).collect()
     }
     assert got == _model_cumsum(rows)
+
+
+def _model_global_rank(rows, key):
+    # rows: (g, id, v, w); rank by (key(row), id) globally, 1-based
+    order = sorted(rows, key=lambda r: (key(r), r[1]))
+    return {r[1]: i for i, r in enumerate(order, start=1)}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(grouped_rows())
+def test_two_phase_multi_rank_matches_single_rank(spark, case):
+    """multi_rank over k specs must equal k independent two_phase_rank
+    passes (same offsets arithmetic, one materialization barrier)."""
+    rows, width = case
+    df = spark.createDataFrame(rows, "g int, id int, v int, w int")
+    ranked, total = ranking.two_phase_multi_rank(
+        df,
+        [
+            (["v", "id"], F.expr(f"v DIV {width}"), "rv"),
+            (["w", "id"], F.expr("w DIV 3"), "rw"),
+            (["g", "id"], F.expr("g"), "rg"),
+        ],
+    )
+    got = {r.id: (r.rv, r.rw, r.rg) for r in ranked.collect()}
+    assert total == len(rows)
+    mv = _model_global_rank(rows, lambda r: r[2])
+    mw = _model_global_rank(rows, lambda r: r[3])
+    mg = _model_global_rank(rows, lambda r: r[0])
+    assert got == {i: (mv[i], mw[i], mg[i]) for i in mv}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=1, max_value=60), st.sampled_from([1, 3, 5, 8]))
+def test_equidepth_bucket_grouped_matches_scalar(spark, n, k):
+    """Column-typed NTILE must equal the driver-scalar variant (ANSI
+    NTILE contract) for every rank 1..n."""
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("rank"), F.lit(n).cast("long").alias("n")
+    )
+    got = {
+        r.rank: (r.g, r.s)
+        for r in df.select(
+            "rank",
+            ranking.equidepth_bucket_grouped(F.col("rank"), F.col("n"), k).alias("g"),
+            ranking.equidepth_bucket(F.col("rank"), n, k).alias("s"),
+        ).collect()
+    }
+    assert all(g == s for g, s in got.values()), got
