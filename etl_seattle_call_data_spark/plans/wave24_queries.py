@@ -123,6 +123,11 @@ def _du(expr: str) -> str:
     """,
 )
 def q_huber_one_step_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 NOTE (measured negative — do not "fix" again): e feeds ~5 plan
+    # branches, but checkpointing the 3-column projection measured flat-
+    # to-slower (count best-of-5: 1.97/2.14 s vs 2.14 s with barrier) —
+    # the branches are cheap pipelined scans of a 2 MB table (skipgram
+    # counterexample class); the barrier only adds a materialization.
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",

@@ -271,6 +271,15 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tl = counted.unionByName(marks)
+    # r11 (§5 spill, VERDICT item 4): materialize=False — the cumsum
+    # helper's default lazy localCheckpoint would MATERIALIZE this
+    # ~(1 + 2·#smaller-types)·|events| marker stream to executor
+    # storage, which is exactly what ground at the third decade (sf100:
+    # 369.5 s, 2.91×/R with rows growing ×10). The upstream is a cheap
+    # scan + broadcast join + in-row explode with NO shuffle — the
+    # CLAUDE.md skipgram class — so letting the totals branch and the
+    # window probe each re-derive it pipelines two linear passes
+    # instead of writing the widest frame in the plan to disk.
     cum = ranking.two_phase_cumsum_in_groups(
         tl,
         group_cols=["type_a"],
@@ -278,6 +287,7 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse=F.expr("us_key DIV 3600000000"),
         weight=F.col("w"),
         cum_name="__cum",
+        materialize=False,
     )
     return (
         cum.filter(F.col("flag") == 1)

@@ -574,6 +574,16 @@ def q_power_iteration_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("qv") * F.col("t")).cast("bigint").alias("y")
         )
 
+    # r11 NOTE (measured negative — do not "fix" again): y1/y2 are each
+    # consumed twice (max-abs scalar + next projection), but
+    # checkpointing them measured SLOWER twice in paired A/B (count
+    # best-of-5: 1.90/2.31 s without vs 2.50/3.34 s with barriers).
+    # Both consumers read the IDENTICAL (dim, y) aggregate — nothing to
+    # prune differently below the exchange — so Spark's runtime
+    # exchange reuse already dedupes the iteration; the barriers only
+    # serialized it. Contrast shift_share/mahalanobis, where the two
+    # branches prune DIFFERENT columns, reuse cannot fire, and the
+    # checkpoint measured faster.
     y1 = iterate(None)
     m1 = y1.agg(F.max(F.abs(F.col("y"))).alias("my"))
     v1 = y1.crossJoin(F.broadcast(m1)).select(

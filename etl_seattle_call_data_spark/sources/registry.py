@@ -59,7 +59,12 @@ def _normalize_temporals(df: DataFrame, name: str) -> DataFrame:
 
 
 # Plan-definition memo: (sf_dir, table) -> DataFrame, weakly keyed by
-# session so a stopped session's entries die with it. This caches the
+# session. NOTE (ADVICE r10): the weak keying is belt-and-braces, not a
+# lifecycle guarantee — the memoized DataFrames strongly reference their
+# SparkSession, so the value chain pins the weak key and entries persist
+# for process lifetime until clear_table_memo() (bench.py's default
+# clear_caches() path). That is acceptable: the memo holds plan objects
+# only, a few KB per (sf_dir, table). This caches the
 # PLAN object only — no rows, no persisted blocks; every action still
 # scans the parquet files. Rationale (measured, round 10): each
 # `spark.read.parquet` + temporal-normalize select costs ~90-100ms of
@@ -90,6 +95,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), name)
     hit = per_session.get(key)
     if hit is not None:
+        # Re-assert temporal confs on EVERY load (ADVICE r10): the
+        # defensive contract is that a driver-owned session may change
+        # spark.sql.session.timeZone mid-session; two conf.set
+        # round-trips are negligible next to the ~90-100ms resolution
+        # the memo saves.
+        _ensure_session_confs(spark)
         return hit
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
