@@ -127,7 +127,40 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_seattle_call_data_spark.sources.registry import load_tables
 
     load_tables(spark, sf_dir, names=("events",))
-    return spark.sql(_RECURSIVE_SQL)
+    # r11: materialize the TYPE-level edge table before the recursion —
+    # Spark inlines a non-recursive CTE into every recursion level, so
+    # the fact-scale LAG + DISTINCT re-executed once per hop (up to 4x).
+    # The edge set is bounded (≤ #types² rows at any SF); checkpoint it
+    # and let the recursive union iterate over the ~25 materialized
+    # rows. The oracle string (_RECURSIVE_SQL) is unchanged — DuckDB
+    # evaluates the identical semantics.
+    edges = spark.sql(
+        """
+        WITH seq AS (
+          SELECT user_id, event_type, ts, event_id,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events
+        )
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM seq
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        """
+    ).localCheckpoint(eager=False)
+    edges.createOrReplaceTempView("__reach_edges_r11")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, hops) AS (
+          SELECT CAST('view' AS STRING) AS node, 0 AS hops
+          UNION ALL
+          SELECT e.dst, r.hops + 1
+          FROM reach r JOIN __reach_edges_r11 e ON e.src = r.node
+          WHERE r.hops < 3
+        )
+        SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops
+        FROM reach GROUP BY node
+        """
+    )
 
 
 # ---------------------------------------------------------------------------
